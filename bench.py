@@ -1,0 +1,172 @@
+"""Benchmark: DR-CVaR halfspace + MPC throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric: DR-CVaR safe-halfspace full-call solves/s at N=1000
+samples -- the quantity the reference benchmarks serially at 69.011 ms
+per call (14.49 calls/s) with CVXPY+ECOS on the author's CPU
+(reference results/Timing_Analysis/timing_comparison.csv row N=1000;
+BASELINE.md).  Extras report CVaR solves/s, batched MPC QP solves/s, and
+full-pipeline scenarios/s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_DRCVAR_CALL_S = 0.069011  # s per call, reference CSV N=1000
+BASELINE_SOLVES_PER_S = 1.0 / BASELINE_DRCVAR_CALL_S
+
+
+def _timed(fn, *args, repeats=5):
+    import jax
+    jax.block_until_ready(fn(*args))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_halfspace(n_samples=1000, batch=8192, seed=0):
+    """Batched DR-CVaR + CVaR halfspace full calls (mean -> h -> project
+    -> CVaR tail -> g), matching DRCVaRSafeHalfspace.create semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.config import (
+        get_parameters)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        cvar_halfspace, dr_cvar_halfspace)
+
+    p = get_parameters()
+    rng = np.random.default_rng(seed)
+    samples = jnp.asarray(
+        np.array([0.5, 0.0]) + 0.1 * rng.normal(size=(batch, n_samples, 2)),
+        jnp.float32)
+    ego = jnp.asarray(rng.normal(size=(batch, 2)) * 0.1, jnp.float32)
+
+    @jax.jit
+    def dr(samples, ego):
+        return dr_cvar_halfspace(samples, ego, p.alpha, p.delta, p.epsilon,
+                                 p.robot_radius, p.obstacle_radius)
+
+    @jax.jit
+    def cv(samples, ego):
+        return cvar_halfspace(samples, ego, p.alpha, p.delta,
+                              p.robot_radius, p.obstacle_radius)
+
+    t_dr = _timed(dr, samples, ego)
+    t_cv = _timed(cv, samples, ego)
+
+    # Single-call latency (batch=1): the real-time-control number.
+    t_lat = _timed(dr, samples[:1], ego[:1])
+    return {
+        "drcvar_solves_per_s": batch / t_dr,
+        "cvar_solves_per_s": batch / t_cv,
+        "drcvar_p50_latency_ms": t_lat * 1e3,
+    }
+
+
+def bench_mpc(batch=512, seed=0, n_obs=1):
+    """Batched MPC interior-point solves (H=30, soft halfspaces)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.config import (
+        get_parameters)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.core.dynamics import (
+        create_double_integrator_matrices)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.mpc_filter import (
+        _filter_core, build_mpc_problem)
+
+    p = get_parameters()
+    A, B, C = create_double_integrator_matrices(p.dt, dtype=jnp.float32)
+    prob = build_mpc_problem(A, B, C, p.q_weight, p.r_weight, p.horizon,
+                             n_obs)
+    rng = np.random.default_rng(seed)
+    H = p.horizon
+    x0 = jnp.asarray(rng.normal(size=(batch, 4)) * 0.1, jnp.float32)
+    x_ref = jnp.asarray(
+        np.cumsum(0.2 * rng.normal(size=(batch, H + 1, 4)), axis=1),
+        jnp.float32)
+    hs_h = rng.normal(size=(batch, H, n_obs, 2))
+    hs_h /= np.linalg.norm(hs_h, axis=-1, keepdims=True)
+    hs_h = jnp.asarray(hs_h, jnp.float32)
+    hs_g = jnp.asarray(rng.uniform(-1.5, 0.2, size=(batch, H, n_obs)),
+                       jnp.float32)
+    u_min = jnp.asarray([-5.0, -5.0], jnp.float32)
+    u_max = -u_min
+    p_min = jnp.asarray([-10.0, -10.0], jnp.float32)
+    p_max = -p_min
+
+    @jax.jit
+    def solve(x0, x_ref, hs_h, hs_g):
+        return jax.vmap(
+            lambda a, b, c, d: _filter_core(prob, a, b, c, d, u_min, u_max,
+                                            p_min, p_max, 35, 3e-5)
+        )(x0, x_ref, hs_h, hs_g)
+
+    t = _timed(solve, x0, x_ref, hs_h, hs_g)
+    return {"mpc_qp_solves_per_s": batch / t}
+
+
+def bench_pipeline(batch=256, n_samples=1000, seed=0):
+    """Full DR-CVaR scenario pipelines per second (multi-obstacle,
+    N samples/obstacle: generation + planning + halfspaces + 3 MPC
+    solves + distances)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.config import (
+        Parameters, get_scenario_config)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.pipeline import (
+        make_statics)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.parallel import (
+        make_mesh, run_batch_sharded)
+
+    params = Parameters(num_samples=n_samples, sim_time=6.0)
+    scenario = get_scenario_config("multi_obstacle")
+    statics = make_statics(scenario, params, jnp.float32)
+    n_steps = int(params.sim_time / params.dt)
+    mesh = make_mesh(n_samples=1)
+    keys = jax.random.split(jax.random.PRNGKey(seed), batch)
+
+    def run():
+        return run_batch_sharded(mesh, statics, keys, scenario, params,
+                                 n_steps)
+
+    t = _timed(run)
+    return {"pipeline_scenarios_per_s": batch / t}
+
+
+def main():
+    results = {}
+    results.update(bench_halfspace())
+    results.update(bench_mpc())
+    results.update(bench_pipeline())
+
+    value = results["drcvar_solves_per_s"]
+    out = {
+        "metric": "drcvar_halfspace_solves_per_s_n1000",
+        "value": round(value, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(value / BASELINE_SOLVES_PER_S, 2),
+        "baseline_solves_per_s": round(BASELINE_SOLVES_PER_S, 2),
+        "cvar_solves_per_s": round(results["cvar_solves_per_s"], 2),
+        "drcvar_p50_latency_ms": round(results["drcvar_p50_latency_ms"], 4),
+        "mpc_qp_solves_per_s": round(results["mpc_qp_solves_per_s"], 2),
+        "pipeline_scenarios_per_s": round(
+            results["pipeline_scenarios_per_s"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

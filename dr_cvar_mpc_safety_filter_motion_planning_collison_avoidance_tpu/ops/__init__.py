@@ -1,0 +1,6 @@
+from . import halfspace
+from . import qp_ipm
+from .halfspace import (Halfspace, mean_halfspace, cvar_halfspace,
+                        dr_cvar_halfspace, cvar_g_star, dr_cvar_g_star,
+                        kth_largest_radix_select)
+from .qp_ipm import QPSolution, solve_qp, solve_qp_batched

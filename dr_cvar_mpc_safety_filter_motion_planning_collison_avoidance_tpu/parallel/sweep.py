@@ -1,0 +1,73 @@
+"""Sharded batch execution of pipelines and sweeps.
+
+Batches of independent problem instances (Monte-Carlo runs, timing-sweep
+cells, scenario fleets) shard over the mesh's `data` axis; inside each
+shard the batch vmaps, so every chip runs its slice of the batch as one
+fused XLA program.  This replaces the reference's serial Python sweep
+loops (reference evaluation/timing_analysis.py:51-124 and the ghost
+Monte-Carlo module's run loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Parameters, Scenario
+from ..models.pipeline import PipelineStatics, make_statics, run_scenario_core
+from .mesh import data_sharding
+
+
+def run_batch_sharded(mesh: Mesh, statics: PipelineStatics, keys,
+                      scenario: Scenario, params: Parameters,
+                      n_steps: int, qp_iters: int = 35):
+    """Run a batch of scenario pipelines, one per PRNG key, with the
+    batch axis sharded over the mesh's data axis.
+
+    keys: [B, 2] PRNG keys (B divisible by mesh data size).
+    Returns (min_distances [B, 3], reference_min [B], converged [B, 3]).
+    """
+    ego_start = jnp.asarray(scenario.ego_start)
+    ego_goal = jnp.asarray(scenario.ego_goal)
+    starts = jnp.asarray(scenario.obstacle_starts)
+    dirs = jnp.asarray(scenario.obstacle_directions)
+    speeds = jnp.asarray(scenario.obstacle_speeds)
+
+    def one(key):
+        res = run_scenario_core(
+            statics, key, ego_start, ego_goal, starts, dirs, speeds,
+            n_steps, params.num_samples, params.noise_var,
+            params.ego_velocity, qp_iters=qp_iters)
+        return (res.distances.min(axis=1), res.reference_distance.min(),
+                res.qp_converged)
+
+    keys = jax.device_put(keys, data_sharding(mesh, keys.ndim))
+    out_sharding = (
+        data_sharding(mesh, 2), data_sharding(mesh, 1), data_sharding(mesh, 2))
+    fn = jax.jit(jax.vmap(one), out_shardings=out_sharding)
+    return fn(keys)
+
+
+def sharded_halfspace_throughput(mesh: Mesh, samples, h, alpha, delta,
+                                 epsilon, robot_radius, obstacle_radius):
+    """Batched DR-CVaR halfspace solves with instances sharded over the
+    data axis (the multi-chip form of the timing benchmark's hot loop).
+
+    samples: [B, N, 2]; h: [B, 2].  Returns g_star [B].
+    """
+    from ..ops.halfspace import dr_cvar_g_star
+
+    samples = jax.device_put(samples, data_sharding(mesh, 3))
+    h = jax.device_put(h, data_sharding(mesh, 2))
+
+    @functools.partial(jax.jit,
+                       out_shardings=data_sharding(mesh, 1))
+    def solve(samples, h):
+        g_star, _ = dr_cvar_g_star(samples, h, alpha, delta, epsilon,
+                                   robot_radius, obstacle_radius)
+        return g_star
+
+    return solve(samples, h)

@@ -1,0 +1,125 @@
+"""Safety-filtering environment facade.
+
+TPU-native counterpart of reference simulation/environment.py:8-140.
+The reference's double loop over timesteps and obstacles (HOT LOOPS A/B,
+environment.py:82-104 -> halfspaces.py:225-246; ~60-180 serial ECOS solves
+per scenario) collapses here into ONE jitted call that evaluates every
+(timestep x obstacle x risk-metric) halfspace as a batched reduction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dynamics import create_double_integrator_matrices
+from ..ops.halfspace import (Halfspace, cvar_halfspace, dr_cvar_halfspace,
+                             mean_halfspace)
+
+
+class SafeHalfspaces(NamedTuple):
+    """All three risk metrics' halfspaces, batch shape [n_steps, n_obs].
+
+    Counterpart of the reference's {'mean': [[...]], 'cvar': ..., 'dr_cvar':
+    ...} nested-list structure (environment.py:75-106)."""
+
+    mean: Halfspace
+    cvar: Halfspace
+    dr_cvar: Halfspace
+
+    def by_metric(self, metric: str) -> Halfspace:
+        return getattr(self, "dr_cvar" if metric == "dr_cvar" else metric)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Environment:
+    """Owns radii, horizon, risk parameters and system matrices
+    (reference simulation/environment.py:12-47)."""
+
+    robot_radius: float
+    obstacle_radius: float
+    horizon: int
+    dt: float
+    alpha: float
+    delta: float
+    epsilon: float
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        A, B, C = create_double_integrator_matrices(self.dt, dtype=self.dtype)
+        object.__setattr__(self, "A", A)
+        object.__setattr__(self, "B", B)
+        object.__setattr__(self, "C", C)
+
+    @property
+    def n_states(self):
+        return self.A.shape[0]
+
+    @property
+    def n_inputs(self):
+        return self.B.shape[1]
+
+    @property
+    def n_outputs(self):
+        return self.C.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("env",))
+def compute_safe_halfspaces_for_trajectory(env: Environment,
+                                           obstacle_samples, x_ref
+                                           ) -> SafeHalfspaces:
+    """Halfspaces for every (t, obstacle, metric) in one fused call.
+
+    Reference simulation/environment.py:60-106: for t in range(n_steps),
+    slice per-obstacle samples [:, t, :], take ego ref position C@x_ref[t],
+    and build mean/CVaR/DR-CVaR halfspaces.  Here the loop axes become
+    array axes.
+
+    Args:
+      obstacle_samples: [n_obs, n_samples, T+1, 2] stacked sample
+        trajectories (T+1 >= n_steps).
+      x_ref: [H+1, n_states] ego reference trajectory.
+    Returns:
+      SafeHalfspaces with batch shape [n_steps, n_obs], where
+      n_steps = min(len(x_ref), horizon) (environment.py:71).
+    """
+    n_steps = min(x_ref.shape[0], env.horizon)
+    # [n_obs, N, n_steps, 2] -> [n_steps, n_obs, N, 2]
+    samples_t = jnp.transpose(obstacle_samples[:, :, :n_steps, :],
+                              (2, 0, 1, 3)).astype(env.dtype)
+    ego_pos = (x_ref[:n_steps].astype(env.dtype) @ env.C.T)    # [n_steps, 2]
+    ego_pos_b = ego_pos[:, None, :]                            # broadcast obs
+
+    mean_hs = mean_halfspace(samples_t, env.robot_radius, env.obstacle_radius)
+    cvar_hs = cvar_halfspace(samples_t, ego_pos_b, env.alpha, env.delta,
+                             env.robot_radius, env.obstacle_radius)
+    dr_hs = dr_cvar_halfspace(samples_t, ego_pos_b, env.alpha, env.delta,
+                              env.epsilon, env.robot_radius,
+                              env.obstacle_radius)
+    return SafeHalfspaces(mean=mean_hs, cvar=cvar_hs, dr_cvar=dr_hs)
+
+
+@functools.partial(jax.jit, static_argnames=("env",))
+def compute_distance_to_collision(env: Environment, ego_trajectory,
+                                  obstacle_trajectories):
+    """Signed distance to the nearest obstacle at each step.
+
+    Reference simulation/environment.py:108-140: min over obstacles of
+    ||C x_t - obs_t|| - r_robot - r_obs, over
+    n_steps = min(len(ego), len(obs)).
+
+    Args:
+      ego_trajectory: [T_e+1, n_states].
+      obstacle_trajectories: [n_obs, T_o+1, 2].
+    Returns: [min(T_e, T_o)+1] distances.
+    """
+    n_steps = min(ego_trajectory.shape[0], obstacle_trajectories.shape[1])
+    ego_pos = ego_trajectory[:n_steps].astype(env.dtype) @ env.C.T  # [T, 2]
+    obs_pos = obstacle_trajectories[:, :n_steps, :].astype(env.dtype)
+    dist = jnp.linalg.norm(ego_pos[None, :, :] - obs_pos, axis=-1)
+    dist = dist - env.robot_radius - env.obstacle_radius
+    return jnp.min(dist, axis=0)

@@ -1,0 +1,91 @@
+"""QP interior-point solver tests vs scipy oracles
+(replacement for reference core/mpc_filter.py:151's OSQP solve)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import LinearConstraint, minimize
+
+from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.qp_ipm import (
+    solve_qp, solve_qp_batched)
+
+
+def _random_qp(seed, n, m):
+    rng = np.random.default_rng(seed)
+    L = rng.normal(size=(n, n))
+    P = L @ L.T + np.eye(n)
+    q = rng.normal(size=n)
+    G = rng.normal(size=(m, n))
+    h = rng.uniform(0.1, 2.0, size=m)
+    return P, q, G, h
+
+
+def _scipy_solve(P, q, G, h):
+    res = minimize(lambda z: 0.5 * z @ P @ z + q @ z, np.zeros(len(q)),
+                   jac=lambda z: P @ z + q, hess=lambda z: P,
+                   constraints=[LinearConstraint(G, -np.inf, h)],
+                   method="trust-constr",
+                   options={"gtol": 1e-12, "xtol": 1e-14})
+    return res.x, res.fun
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_solve_qp_matches_scipy(seed):
+    P, q, G, h = _random_qp(seed, 15, 30)
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(G),
+                   jnp.asarray(h))
+    z_ref, f_ref = _scipy_solve(P, q, G, h)
+    assert bool(sol.converged)
+    assert float(sol.obj) <= f_ref + 1e-7   # we should not be worse
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=5e-6)
+
+
+def test_solve_qp_unconstrained_active():
+    """When no constraint is active, solution equals -P^{-1} q."""
+    P, q, _, _ = _random_qp(10, 8, 1)
+    G = np.zeros((1, 8))
+    G[0, 0] = 1.0
+    h = np.array([1e6])
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(G),
+                   jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(sol.z), -np.linalg.solve(P, q),
+                               atol=1e-7)
+
+
+def test_solve_qp_batched_matches_single():
+    Ps, qs, Gs, hs = [], [], [], []
+    for seed in range(5):
+        P, q, G, h = _random_qp(seed + 100, 12, 20)
+        Ps.append(P); qs.append(q); Gs.append(G); hs.append(h)
+    batch = solve_qp_batched(jnp.asarray(np.stack(Ps)), jnp.asarray(np.stack(qs)),
+                             jnp.asarray(np.stack(Gs)), jnp.asarray(np.stack(hs)))
+    for i in range(5):
+        single = solve_qp(jnp.asarray(Ps[i]), jnp.asarray(qs[i]),
+                          jnp.asarray(Gs[i]), jnp.asarray(hs[i]))
+        np.testing.assert_allclose(np.asarray(batch.z[i]),
+                                   np.asarray(single.z), atol=1e-9)
+
+
+def test_solve_qp_tight_constraints():
+    """Active box: minimize ||z - 2||^2 s.t. z <= 1 -> z = 1."""
+    n = 6
+    P = 2 * np.eye(n)
+    q = -4 * np.ones(n)
+    G = np.eye(n)
+    h = np.ones(n)
+    sol = solve_qp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(G),
+                   jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(sol.z), np.ones(n), atol=1e-8)
+    assert bool(sol.converged)
+
+
+def test_solve_qp_float32():
+    """f32 path (TPU dtype) reaches ~1e-4 accuracy with looser tol."""
+    P, q, G, h = _random_qp(7, 15, 30)
+    z_ref, _ = _scipy_solve(P, q, G, h)
+    sol = solve_qp(jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32),
+                   jnp.asarray(G, jnp.float32), jnp.asarray(h, jnp.float32),
+                   tol=3e-5)
+    assert bool(sol.converged)
+    np.testing.assert_allclose(np.asarray(sol.z), z_ref, atol=5e-4)
