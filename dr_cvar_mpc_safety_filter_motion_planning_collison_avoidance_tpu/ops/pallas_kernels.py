@@ -77,7 +77,8 @@ def _drcvar_kernel(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
     def body(_, bounds):
         lo, hi = bounds  # [bt, 1]
         mid = lo + (hi - lo) // 2 + (hi - lo) % 2
-        count = jnp.sum(jnp.where(keys >= mid, 1, 0), axis=1, keepdims=True)
+        count = jnp.sum((keys >= mid).astype(jnp.int32), axis=1,
+                        keepdims=True)
         ok = count >= k
         return (jnp.where(ok, mid, lo),
                 jnp.where(ok, hi, mid - jnp.uint32(1)))
@@ -91,8 +92,8 @@ def _drcvar_kernel(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
     # Tie-safe tail mean (core/risk.cvar_from_kth).
     an = alpha * n_samples
     gt = x > v[:, None]
-    c = jnp.sum(jnp.where(gt, 1.0, 0.0), axis=1)
-    tail = jnp.sum(jnp.where(gt, x, 0.0), axis=1)
+    c = jnp.sum(gt.astype(jnp.float32), axis=1)
+    tail = jnp.sum(jnp.where(gt, x, jnp.float32(0.0)), axis=1)
     cvar = (tail + (an - c) * v) / an
 
     # h is unit (or the unit fallback), so r~ = r_combined.

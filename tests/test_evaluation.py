@@ -1,0 +1,143 @@
+"""Evaluation-layer tests: metrics, timing analysis, visualization,
+utils, and the Pallas kernel in interpreter mode."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.metrics import (
+    collision_rate, expectation_of_shortfall, safety_metrics)
+from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils.math_utils import (
+    is_point_in_halfspace, normalize_vector, project_point_to_halfspace)
+
+
+def test_collision_rate():
+    d = jnp.asarray([-1.0, 0.5, -0.2, 1.0])
+    assert float(collision_rate(d)) == 0.5
+
+
+def test_expectation_of_shortfall():
+    d = jnp.asarray([-1.0, 0.5, -0.5, 1.0])
+    # mean of shortfalls below 0: (-1.0 + -0.5)/2 = -0.75
+    assert float(expectation_of_shortfall(d)) == pytest.approx(-0.75)
+    # no shortfalls -> 0 (reference evaluation/metrics.py:29-30)
+    assert float(expectation_of_shortfall(jnp.asarray([0.1, 0.2]))) == 0.0
+
+
+def test_safety_metrics_keys():
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=100))
+    m = safety_metrics(d)
+    expected = {"mean", "min", "max", "std", "collision_rate",
+                "expected_shortfall", "q10", "q25", "median", "q75", "q90"}
+    assert set(m) == expected
+    np.testing.assert_allclose(float(m["median"]),
+                               np.median(np.asarray(d)), atol=1e-9)
+
+
+def test_normalize_vector():
+    v = jnp.asarray([3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(normalize_vector(v)), [0.6, 0.8])
+    np.testing.assert_allclose(
+        np.asarray(normalize_vector(jnp.zeros(2))), [0.0, 0.0])
+
+
+def test_halfspace_membership_and_projection():
+    h = jnp.asarray([1.0, 0.0])
+    g = -1.0  # halfspace: x <= 1
+    assert bool(is_point_in_halfspace(jnp.asarray([0.5, 7.0]), h, g))
+    assert not bool(is_point_in_halfspace(jnp.asarray([2.0, 0.0]), h, g))
+    proj = project_point_to_halfspace(jnp.asarray([2.0, 3.0]), h, g)
+    np.testing.assert_allclose(np.asarray(proj), [1.0, 3.0], atol=1e-12)
+    inside = project_point_to_halfspace(jnp.asarray([0.2, 3.0]), h, g)
+    np.testing.assert_allclose(np.asarray(inside), [0.2, 3.0], atol=1e-12)
+
+
+def test_timing_analysis_smoke(tmp_path):
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.timing_analysis import (
+        analyze_dr_cvar_computation_time)
+    data = analyze_dr_cvar_computation_time(
+        sample_sizes=(10, 30), n_runs=4, repeats=3,
+        save_dir=str(tmp_path), dtype=jnp.float64, verbose=False)
+    assert set(data) == {"setup_times", "solve_times", "call_times",
+                         "cvar_setup_times", "cvar_solve_times",
+                         "cvar_call_times"}
+    assert len(data["solve_times"][10]) == 3
+    assert os.path.exists(tmp_path / "timing_comparison.csv")
+    assert os.path.exists(tmp_path / "dr_cvar_computation_time.png")
+    assert os.path.exists(tmp_path / "dr_cvar_computation_time_with_outliers.png")
+
+
+def test_visualization_smoke(tmp_path):
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation import (
+        visualization as viz)
+    rng = np.random.default_rng(0)
+    ego = np.cumsum(rng.normal(size=(20, 4)) * 0.1, axis=0)
+    obs = np.cumsum(rng.normal(size=(2, 20, 2)) * 0.1, axis=1)
+    hs_h = rng.normal(size=(10, 2, 2))
+    hs_h /= np.linalg.norm(hs_h, axis=-1, keepdims=True)
+    hs_g = rng.normal(size=(10, 2))
+
+    viz.plot_scenario(ego, obs, 0.3, 0.3,
+                      save_path=str(tmp_path / "scenario.png"))
+    viz.plot_distance_to_collision(
+        {"a": rng.normal(size=20), "b": rng.normal(size=20)},
+        save_path=str(tmp_path / "dist.png"))
+    viz.compare_risk_metrics(
+        {"mean": rng.normal(size=30), "dr_cvar": rng.normal(size=30)},
+        save_path=str(tmp_path / "cmp.png"))
+    viz.visualize_trajectory_with_halfspaces(
+        ego, obs, hs_h, hs_g, 0.3, 0.3,
+        save_path=str(tmp_path / "hs.png"))
+    for f in ["scenario.png", "dist.png", "cmp.png", "hs.png"]:
+        assert os.path.exists(tmp_path / f)
+
+
+def test_animation_smoke(tmp_path):
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation import (
+        visualization as viz)
+    rng = np.random.default_rng(1)
+    ego = np.cumsum(rng.normal(size=(6, 4)) * 0.1, axis=0)
+    obs = np.cumsum(rng.normal(size=(1, 6, 2)) * 0.1, axis=1)
+    # mp4 save falls back to GIF when ffmpeg is unavailable
+    viz.animate_scenario(ego, obs, 0.3, 0.3,
+                         save_path=str(tmp_path / "anim.mp4"))
+    assert (os.path.exists(tmp_path / "anim.mp4")
+            or os.path.exists(tmp_path / "anim.gif"))
+
+
+def test_pallas_kernel_interpret_mode():
+    """Fused Pallas DR-CVaR kernel equals the XLA closed form
+    (interpreter mode on CPU; compiled path exercised on TPU)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        dr_cvar_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace)
+    rng = np.random.default_rng(2)
+    B, N = 8, 50
+    samples = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    ego = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    h_k, g_k = fused_drcvar_halfspace(samples, ego, 0.2, 0.1, 0.15,
+                                      0.3, 0.3, interpret=True)
+    ref = dr_cvar_halfspace(samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(ref.h),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_k),
+                               np.asarray(ref.g_tilde).astype(np.float32),
+                               atol=1e-5)
+
+
+def test_timer_and_stats(capsys):
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils.timing import (
+        Timer, TimingStats)
+    with Timer("unit") as t:
+        sum(range(1000))
+    assert t.elapsed > 0
+    stats = TimingStats()
+    stats.add("x", 1.0)
+    stats.add("x", 3.0)
+    s = stats.get_stats("x")
+    assert s["mean"] == 2.0 and s["count"] == 2
+    assert stats.get_stats("missing") is None
