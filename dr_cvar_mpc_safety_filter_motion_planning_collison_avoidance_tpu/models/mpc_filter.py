@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.dynamics import condensed_dynamics, simulate_linear_system
-from ..ops.qp_ipm import solve_qp
+from ..ops.qp_ipm_structured import solve_mpc_qp
 
 SLACK_LIN = 50.0   # linear slack penalty   (reference core/mpc_filter.py:143)
 SLACK_QUAD = 50.0  # quadratic slack penalty (reference core/mpc_filter.py:144)
@@ -149,7 +149,6 @@ def _filter_core_body(prob, x0, x_ref, hs_h, hs_g,
     xr_flat = x_ref[1:H + 1].reshape(-1).astype(dtype)       # [H*n]
     e0 = prob.Phi @ x0.astype(dtype) - xr_flat               # Phi x0 - Xref
     q_u = 2.0 * prob.q_weight * (prob.Gamma.T @ e0)
-    q_vec = jnp.concatenate([q_u, jnp.full((n_s,), SLACK_LIN, dtype)])
 
     theta0 = (prob.Phi @ x0.astype(dtype)).reshape(H, n)
     pos0 = theta0 @ prob.C.T                                 # [H, p]
@@ -161,36 +160,32 @@ def _filter_core_body(prob, x0, x_ref, hs_h, hs_g,
               - jnp.einsum("tjd,td->tj", hs_h.astype(dtype), pos0)).reshape(n_s)
 
     eye_u = jnp.eye(n_u, dtype=dtype)
-    eye_s = jnp.eye(n_s, dtype=dtype)
     Theta_flat = prob.Theta.reshape(H * p, n_u)
 
+    # Box rows (structured solver keeps the slack block separate).
     G_blocks, h_blocks = [], []
     if has_u_bounds:
-        G_blocks += [
-            jnp.concatenate([eye_u, jnp.zeros((n_u, n_s), dtype)], 1),
-            jnp.concatenate([-eye_u, jnp.zeros((n_u, n_s), dtype)], 1),
-        ]
+        G_blocks += [eye_u, -eye_u]
         h_blocks += [jnp.tile(u_max.astype(dtype), H),
                      -jnp.tile(u_min.astype(dtype), H)]
     if has_p_bounds:
-        G_blocks += [
-            jnp.concatenate([Theta_flat, jnp.zeros((H * p, n_s), dtype)], 1),
-            jnp.concatenate([-Theta_flat, jnp.zeros((H * p, n_s), dtype)], 1),
-        ]
+        G_blocks += [Theta_flat, -Theta_flat]
         h_blocks += [jnp.tile(p_max.astype(dtype), H) - pos0.reshape(-1),
                      pos0.reshape(-1) - jnp.tile(p_min.astype(dtype), H)]
-    G_blocks += [
-        jnp.concatenate([HS_u, -eye_s], 1),                      # soft halfspace
-        jnp.concatenate([jnp.zeros((n_s, n_u), dtype), -eye_s], 1),  # s >= 0
-    ]
-    h_blocks += [hs_rhs, jnp.zeros((n_s,), dtype)]
-    G = jnp.concatenate(G_blocks, axis=0)
-    h_vec = jnp.concatenate(h_blocks)
+    if G_blocks:
+        G_u = jnp.concatenate(G_blocks, axis=0)
+        h1 = jnp.concatenate(h_blocks)
+    else:
+        G_u = jnp.zeros((0, n_u), dtype)
+        h1 = jnp.zeros((0,), dtype)
 
-    sol = solve_qp(prob.P, q_vec, G, h_vec, max_iters=max_iters, tol=tol)
+    P_uu = prob.P[:n_u, :n_u]
+    sol = solve_mpc_qp(P_uu, q_u, G_u, h1, HS_u, hs_rhs,
+                       2.0 * SLACK_QUAD, SLACK_LIN,
+                       max_iters=max_iters, tol=tol)
 
-    u_opt = sol.z[:n_u].reshape(H, m)
-    slack = sol.z[n_u:].reshape(H, n_obs)
+    u_opt = sol.u.reshape(H, m)
+    slack = sol.s.reshape(H, n_obs)
     # Constant term dropped during condensation, so reported objective
     # matches the reference's problem.value (core/mpc_filter.py:165).
     const = prob.q_weight * jnp.dot(e0, e0)

@@ -1,0 +1,219 @@
+"""Structure-exploiting IPM for the MPC safety-filter QP.
+
+The condensed MPC QP (models/mpc_filter.py) has the form
+
+  min_u,s  0.5 u'P_uu u + q_u'u + 0.5 s'(p_ss I)s + q_s's
+  s.t.     G_u u <= h1          (input + position boxes, m1 rows)
+           A u - s <= b         (soft halfspace rows,    m2 rows)
+           -s <= 0              (slack nonnegativity,    m2 rows)
+
+The generic solver (ops/qp_ipm.py) factorizes the full
+(n_u + m2) x (n_u + m2) normal matrix each iteration.  Here the slack
+block is eliminated analytically: its contribution to the Newton system
+is DIAGONAL (m_ss = p_ss + d2 + d3), so a Schur complement reduces each
+iteration to ONE n_u x n_u Cholesky -- for the multi-obstacle MPC that
+is 60x60 instead of 150x150 (~15x fewer factorization FLOPs) and far
+less VMEM traffic, which is what batched throughput on the MXU is
+gated by.
+
+Same Mehrotra predictor-corrector, centered start, best-iterate
+tracking, and merit-based convergence as the generic solver; verified
+against it in tests/test_qp_structured.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MPCQPSolution(NamedTuple):
+    u: jax.Array           # [n_u]
+    s: jax.Array           # [m2] slack variables
+    obj: jax.Array
+    gap: jax.Array
+    prim_res: jax.Array
+    dual_res: jax.Array
+    converged: jax.Array
+    iterations: jax.Array
+
+
+def _pos_step(v, dv, frac):
+    if v.shape[0] == 0:  # empty constraint block (e.g. no boxes)
+        return jnp.asarray(1.0, v.dtype)
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, frac * jnp.min(ratio))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
+                 max_iters: int = 60, tol: float | None = None,
+                 reg: float = 0.0):
+    """Solve the slack-structured QP above.
+
+    Shapes: P_uu [n,n], q_u [n], G_u [m1,n], h1 [m1], A [m2,n], b [m2],
+    p_ss [] or [m2] (diagonal quadratic slack weight), q_s [] or [m2].
+    """
+    dtype = P_uu.dtype
+    if reg == 0.0:
+        reg = 1e-10 if dtype == jnp.float64 else 1e-7
+    if tol is None:
+        tol = 1e-9 if dtype == jnp.float64 else 3e-5
+    with jax.default_matmul_precision("highest"):
+        return _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
+                           max_iters, tol, reg)
+
+
+def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg):
+    dtype = P_uu.dtype
+    n = P_uu.shape[0]
+    m1 = G_u.shape[0]
+    m2 = A.shape[0]
+    m_total = m1 + 2 * m2
+    p_ss = jnp.broadcast_to(jnp.asarray(p_ss, dtype), (m2,))
+    q_s = jnp.broadcast_to(jnp.asarray(q_s, dtype), (m2,))
+
+    q_scale = jnp.maximum(jnp.maximum(jnp.max(jnp.abs(q_u)),
+                                      jnp.max(jnp.abs(q_s))), 1.0)
+    big = jnp.asarray(1e30, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    u = jnp.zeros((n,), dtype)
+    s = jnp.zeros((m2,), dtype)
+    w1 = jnp.maximum(h1, 1.0)
+    w2 = jnp.maximum(b, 1.0)
+    w3 = jnp.ones((m2,), dtype)
+    l1 = jnp.clip(1.0 / w1, 1e-6, 1e6)
+    l2 = jnp.clip(1.0 / w2, 1e-6, 1e6)
+    l3 = jnp.clip(1.0 / w3, 1e-6, 1e6)
+
+    def merit_of(u, s, l1, l2, l3, w1, w2, w3):
+        mu = (jnp.dot(l1, w1) + jnp.dot(l2, w2) + jnp.dot(l3, w3)) / m_total
+        Au = A @ u
+        viol_box = (jnp.max(jnp.maximum(G_u @ u - h1, 0.0))
+                    if m1 > 0 else jnp.asarray(0.0, dtype))
+        viol = jnp.maximum(
+            viol_box,
+            jnp.maximum(jnp.max(jnp.maximum(Au - s - b, 0.0)),
+                        jnp.max(jnp.maximum(-s, 0.0))))
+        rd_u = jnp.max(jnp.abs(P_uu @ u + q_u + G_u.T @ l1 + A.T @ l2))
+        rd_s = jnp.max(jnp.abs(p_ss * s + q_s - l2 - l3))
+        return (mu + viol + jnp.maximum(rd_u, rd_s)) / q_scale, mu
+
+    def cond(state):
+        return jnp.logical_not(state[-2]) & (state[-1] < max_iters)
+
+    def body(state):
+        u, s, w1, w2, w3, l1, l2, l3, best, done, iters = state
+        best_merit, bu, bs, bl = best
+
+        merit, mu = merit_of(u, s, l1, l2, l3, w1, w2, w3)
+        better = merit < best_merit
+        best_merit = jnp.where(better, merit, best_merit)
+        bu = jnp.where(better, u, bu)
+        bs = jnp.where(better, s, bs)
+        bl = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), (l1, l2, l3), bl)
+
+        r_du = P_uu @ u + q_u + G_u.T @ l1 + A.T @ l2
+        r_ds = p_ss * s + q_s - l2 - l3
+        r_p1 = G_u @ u + w1 - h1
+        r_p2 = A @ u - s + w2 - b
+        r_p3 = -s + w3
+
+        d1 = jnp.clip(l1 / w1, 1e-10, 1e10)
+        d2 = jnp.clip(l2 / w2, 1e-10, 1e10)
+        d3 = jnp.clip(l3 / w3, 1e-10, 1e10)
+        m_ss = p_ss + d2 + d3
+        d2_eff = d2 - d2 * d2 / m_ss
+        S = (P_uu + (G_u.T * d1) @ G_u + (A.T * d2_eff) @ A + reg * eye)
+        chol = jax.scipy.linalg.cho_factor(S)
+
+        def newton(rc1, rc2, rc3):
+            t_s = (-r_ds + d2 * r_p2 - rc2 / w2 + d3 * r_p3 - rc3 / w3)
+            rhs = (-r_du - G_u.T @ (d1 * r_p1 - rc1 / w1)
+                   - A.T @ (d2 * r_p2 - rc2 / w2)
+                   + A.T @ (d2 * t_s / m_ss))
+            du = jax.scipy.linalg.cho_solve(chol, rhs)
+            ds = (t_s + d2 * (A @ du)) / m_ss
+            dl1 = d1 * (G_u @ du + r_p1) - rc1 / w1
+            dl2 = d2 * (A @ du - ds + r_p2) - rc2 / w2
+            dl3 = d3 * (-ds + r_p3) - rc3 / w3
+            dw1 = -(rc1 + w1 * dl1) / l1
+            dw2 = -(rc2 + w2 * dl2) / l2
+            dw3 = -(rc3 + w3 * dl3) / l3
+            return du, ds, dl1, dl2, dl3, dw1, dw2, dw3
+
+        # Predictor.
+        da = newton(l1 * w1, l2 * w2, l3 * w3)
+        du_a, ds_a, dl1_a, dl2_a, dl3_a, dw1_a, dw2_a, dw3_a = da
+        a_p = jnp.minimum(jnp.minimum(_pos_step(w1, dw1_a, 1.0),
+                                      _pos_step(w2, dw2_a, 1.0)),
+                          _pos_step(w3, dw3_a, 1.0))
+        a_d = jnp.minimum(jnp.minimum(_pos_step(l1, dl1_a, 1.0),
+                                      _pos_step(l2, dl2_a, 1.0)),
+                          _pos_step(l3, dl3_a, 1.0))
+        mu_aff = (jnp.dot(l1 + a_d * dl1_a, w1 + a_p * dw1_a)
+                  + jnp.dot(l2 + a_d * dl2_a, w2 + a_p * dw2_a)
+                  + jnp.dot(l3 + a_d * dl3_a, w3 + a_p * dw3_a)) / m_total
+        sigma = (mu_aff / jnp.maximum(mu, 1e-30)) ** 3
+
+        # Corrector.
+        dc = newton(l1 * w1 + dl1_a * dw1_a - sigma * mu,
+                    l2 * w2 + dl2_a * dw2_a - sigma * mu,
+                    l3 * w3 + dl3_a * dw3_a - sigma * mu)
+        du, ds, dl1, dl2, dl3, dw1, dw2, dw3 = dc
+        a_p = jnp.minimum(jnp.minimum(_pos_step(w1, dw1, 0.99),
+                                      _pos_step(w2, dw2, 0.99)),
+                          _pos_step(w3, dw3, 0.99))
+        a_d = jnp.minimum(jnp.minimum(_pos_step(l1, dl1, 0.99),
+                                      _pos_step(l2, dl2, 0.99)),
+                          _pos_step(l3, dl3, 0.99))
+
+        conv = best_merit < tol
+        done_n = done | conv
+        keep = done_n
+        u = jnp.where(keep, u, u + a_p * du)
+        s = jnp.where(keep, s, s + a_p * ds)
+        w1 = jnp.where(keep, w1, w1 + a_p * dw1)
+        w2 = jnp.where(keep, w2, w2 + a_p * dw2)
+        w3 = jnp.where(keep, w3, w3 + a_p * dw3)
+        l1 = jnp.where(keep, l1, l1 + a_d * dl1)
+        l2 = jnp.where(keep, l2, l2 + a_d * dl2)
+        l3 = jnp.where(keep, l3, l3 + a_d * dl3)
+        iters = jnp.where(done_n, iters, iters + 1)
+        return (u, s, w1, w2, w3, l1, l2, l3,
+                (best_merit, bu, bs, bl), done_n, iters)
+
+    init = (u, s, w1, w2, w3, l1, l2, l3,
+            (big, u, s, (l1, l2, l3)), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    u, s, w1, w2, w3, l1, l2, l3, best, done, iters = out
+
+    merit, _ = merit_of(u, s, l1, l2, l3, w1, w2, w3)
+    best_merit, bu, bs, bl = best
+    better = merit < best_merit
+    best_merit = jnp.where(better, merit, best_merit)
+    u = jnp.where(better, u, bu)
+    s = jnp.where(better, s, bs)
+    l1, l2, l3 = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(better, new, old), (l1, l2, l3), bl)
+
+    obj = (0.5 * u @ (P_uu @ u) + q_u @ u
+           + 0.5 * jnp.dot(p_ss * s, s) + q_s @ s)
+    gap = (jnp.dot(l1, w1) + jnp.dot(l2, w2) + jnp.dot(l3, w3)) / m_total
+    viol_box = (jnp.max(jnp.maximum(G_u @ u - h1, 0.0))
+                if m1 > 0 else jnp.asarray(0.0, dtype))
+    viol = jnp.maximum(
+        viol_box,
+        jnp.maximum(jnp.max(jnp.maximum(A @ u - s - b, 0.0)),
+                    jnp.max(jnp.maximum(-s, 0.0))))
+    rd = jnp.maximum(
+        jnp.max(jnp.abs(P_uu @ u + q_u + G_u.T @ l1 + A.T @ l2)),
+        jnp.max(jnp.abs(p_ss * s + q_s - l2 - l3)))
+    converged = best_merit < tol
+    return MPCQPSolution(u, s, obj, gap, viol, rd, converged, iters)
