@@ -23,14 +23,24 @@ BASELINE_DRCVAR_CALL_S = 0.069011  # s per call, reference CSV N=1000
 BASELINE_SOLVES_PER_S = 1.0 / BASELINE_DRCVAR_CALL_S
 
 
-def _timed(fn, *args, repeats=5):
+def _timed(fn, *args, repeats=12, chain=4):
+    """Best per-call wall time over `repeats` groups of `chain` calls.
+
+    The TPU here is reached through a tunnel with noisy round-trip
+    latency (occasionally 10-30x stalls), so each measurement dispatches
+    `chain` async calls and blocks once -- amortizing the round trip --
+    and the minimum over groups filters transient contention.
+    """
     import jax
     jax.block_until_ready(fn(*args))  # compile
+    jax.block_until_ready(fn(*args))  # warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(chain):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
 
@@ -65,10 +75,27 @@ def bench_halfspace(n_samples=1000, batch=8192, seed=0):
     t_dr = _timed(dr, samples, ego)
     t_cv = _timed(cv, samples, ego)
 
+    # Pallas fused single-pass kernel (ops/pallas_kernels.py) -- the
+    # fastest TPU path for the same full call; falls back to the XLA
+    # number off-TPU.
+    t_pl = t_dr
+    if jax.devices()[0].platform != "cpu":
+        from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+            fused_drcvar_halfspace)
+
+        def pl_dr(samples, ego):
+            return fused_drcvar_halfspace(
+                samples, ego, p.alpha, p.delta, p.epsilon,
+                p.robot_radius, p.obstacle_radius)
+
+        t_pl = _timed(pl_dr, samples, ego)
+
     # Single-call latency (batch=1): the real-time-control number.
     t_lat = _timed(dr, samples[:1], ego[:1])
     return {
-        "drcvar_solves_per_s": batch / t_dr,
+        "drcvar_solves_per_s": batch / min(t_dr, t_pl),
+        "drcvar_xla_solves_per_s": batch / t_dr,
+        "drcvar_pallas_solves_per_s": batch / t_pl,
         "cvar_solves_per_s": batch / t_cv,
         "drcvar_p50_latency_ms": t_lat * 1e3,
     }
@@ -113,7 +140,7 @@ def bench_mpc(batch=512, seed=0, n_obs=1):
                                             p_min, p_max, 35, 3e-5)
         )(x0, x_ref, hs_h, hs_g)
 
-    t = _timed(solve, x0, x_ref, hs_h, hs_g)
+    t = _timed(solve, x0, x_ref, hs_h, hs_g, repeats=6, chain=2)
     return {"mpc_qp_solves_per_s": batch / t}
 
 
@@ -142,7 +169,7 @@ def bench_pipeline(batch=256, n_samples=1000, seed=0):
         return run_batch_sharded(mesh, statics, keys, scenario, params,
                                  n_steps)
 
-    t = _timed(run)
+    t = _timed(run, repeats=3, chain=1)
     return {"pipeline_scenarios_per_s": batch / t}
 
 
@@ -159,6 +186,10 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(value / BASELINE_SOLVES_PER_S, 2),
         "baseline_solves_per_s": round(BASELINE_SOLVES_PER_S, 2),
+        "drcvar_xla_solves_per_s": round(
+            results["drcvar_xla_solves_per_s"], 2),
+        "drcvar_pallas_solves_per_s": round(
+            results["drcvar_pallas_solves_per_s"], 2),
         "cvar_solves_per_s": round(results["cvar_solves_per_s"], 2),
         "drcvar_p50_latency_ms": round(results["drcvar_p50_latency_ms"], 4),
         "mpc_qp_solves_per_s": round(results["mpc_qp_solves_per_s"], 2),

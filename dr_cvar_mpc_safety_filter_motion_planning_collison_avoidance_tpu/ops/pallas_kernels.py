@@ -108,7 +108,7 @@ def _drcvar_kernel(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
                                     "tile_b", "interpret"))
 def fused_drcvar_halfspace(samples, ego_ref_pos, alpha: float, delta: float,
                            epsilon: float, robot_radius: float,
-                           obstacle_radius: float, tile_b: int = 8,
+                           obstacle_radius: float, tile_b: int = 16,
                            interpret: bool = False):
     """Fused DR-CVaR halfspaces for a batch of instances.
 
