@@ -7,8 +7,34 @@ Headline metric: DR-CVaR safe-halfspace full-call solves/s at N=1000
 samples -- the quantity the reference benchmarks serially at 69.011 ms
 per call (14.49 calls/s) with CVXPY+ECOS on the author's CPU
 (reference results/Timing_Analysis/timing_comparison.csv row N=1000;
-BASELINE.md).  Extras report CVaR solves/s, batched MPC QP solves/s, and
-full-pipeline scenarios/s.
+BASELINE.md).
+
+Measurement methodology (designed so the number cannot lie)
+-----------------------------------------------------------
+This environment reaches the TPU through a tunnel whose
+`jax.block_until_ready` acks BEFORE device execution completes, so any
+dispatch-and-block timing is a dispatch-rate artifact (round-1 verdict).
+Every number here is therefore taken as:
+
+  1. K repetitions run INSIDE one XLA program via `lax.fori_loop`, with
+     each iteration's inputs perturbed by the previous iteration's
+     outputs (a data dependence: XLA can neither elide, hoist, nor
+     reorder the iterations);
+  2. the program returns a scalar checksum, and the timer brackets one
+     dispatch + one device->host VALUE readback (`float(...)` -- the
+     value cannot arrive before execution finishes);
+  3. a K=0 control run of the same program measures the RTT/dispatch
+     floor, which is subtracted;
+  4. a hard sanity gate: the headline working set is sized LARGER THAN
+     VMEM (v5e ~128 MB) so its per-iteration sample read MUST stream
+     from HBM, and the bench REFUSES to print any number whose implied
+     compulsory HBM bandwidth exceeds the chip's peak.
+
+Calibration on this chip (TPU v5 lite, v5e: 819 GB/s HBM peak):
+a 256 MB fori_loop-chained stream measures ~614 GB/s (75% of peak,
+plausible); the same chain on a 64 MB (VMEM-resident) working set
+measures an apparent ~6 TB/s -- which is why the gate only counts
+compulsory HBM traffic on >VMEM working sets.
 """
 
 from __future__ import annotations
@@ -22,31 +48,83 @@ import numpy as np
 BASELINE_DRCVAR_CALL_S = 0.069011  # s per call, reference CSV N=1000
 BASELINE_SOLVES_PER_S = 1.0 / BASELINE_DRCVAR_CALL_S
 
+# HBM peak by device kind; conservative default for unknown devices.
+HBM_PEAK_GBPS = {
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5e": 819.0,
+    "TPU v4": 1228.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+    "cpu": 200.0,
+}
+VMEM_BYTES = 128 * 1024 * 1024  # v5e-class VMEM capacity
 
-def _timed(fn, *args, repeats=12, chain=4):
-    """Best per-call wall time over `repeats` groups of `chain` calls.
 
-    The TPU here is reached through a tunnel with noisy round-trip
-    latency (occasionally 10-30x stalls), so each measurement dispatches
-    `chain` async calls and blocks once -- amortizing the round trip --
-    and the minimum over groups filters transient contention.
-    """
+def _hbm_peak_gbps():
     import jax
-    jax.block_until_ready(fn(*args))  # compile
-    jax.block_until_ready(fn(*args))  # warm
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", d.platform)
+    for k, v in HBM_PEAK_GBPS.items():
+        if k.lower() in str(kind).lower() or str(kind).lower() in k.lower():
+            return v, str(kind)
+    return 819.0, str(kind)
+
+
+def _timed_value(fn, *args, repeats=3):
+    """min over repeats of [dispatch fn(*args) -> float(scalar) readback]."""
+    float(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(chain):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / chain)
-    return best
+        v = float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, v
 
 
-def bench_halfspace(n_samples=1000, batch=8192, seed=0):
+def _loop_time(loop_fn, k: int, repeats=3):
+    """Per-iteration seconds of an in-program K-loop, RTT-subtracted.
+
+    loop_fn(k) must run k data-dependence-chained iterations inside one
+    jitted program and return a scalar checksum.
+    """
+    import jax
+    t0, _ = _timed_value(loop_fn, jax.numpy.int32(0), repeats=repeats)
+    tk, v = _timed_value(loop_fn, jax.numpy.int32(k), repeats=repeats)
+    per_iter = max(tk - t0, 1e-12) / k
+    return per_iter, t0, v
+
+
+def _gate_bandwidth(name, compulsory_bytes_per_iter, per_iter_s,
+                    working_set_bytes, peak_gbps):
+    """Refuse numbers whose compulsory HBM bandwidth beats the chip.
+
+    Only a hard physical bound when the working set cannot be cached in
+    VMEM across iterations; below that the gate records the implied
+    figure but cannot falsify it.
+    """
+    implied = compulsory_bytes_per_iter / per_iter_s / 1e9
+    hard = working_set_bytes > VMEM_BYTES
+    if hard and implied > peak_gbps * 1.05:
+        print(json.dumps({
+            "metric": "MEASUREMENT_REJECTED",
+            "bench": name,
+            "implied_hbm_gbps": round(implied, 1),
+            "peak_hbm_gbps": peak_gbps,
+            "reason": "implied compulsory HBM bandwidth exceeds chip peak;"
+                      " timing did not capture device execution",
+        }))
+        sys.exit(1)
+    return implied, hard
+
+
+def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     """Batched DR-CVaR + CVaR halfspace full calls (mean -> h -> project
-    -> CVaR tail -> g), matching DRCVaRSafeHalfspace.create semantics."""
+    -> CVaR tail -> g), matching DRCVaRSafeHalfspace.create semantics.
+
+    batch=32768 makes the sample tensor 256 MB (> VMEM), so every loop
+    iteration must re-stream it from HBM and the bandwidth gate is a
+    hard physical bound.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -56,53 +134,118 @@ def bench_halfspace(n_samples=1000, batch=8192, seed=0):
         cvar_halfspace, dr_cvar_halfspace)
 
     p = get_parameters()
-    rng = np.random.default_rng(seed)
-    samples = jnp.asarray(
-        np.array([0.5, 0.0]) + 0.1 * rng.normal(size=(batch, n_samples, 2)),
-        jnp.float32)
-    ego = jnp.asarray(rng.normal(size=(batch, 2)) * 0.1, jnp.float32)
+    peak_gbps, device_kind = _hbm_peak_gbps()
 
+    # Build data ON DEVICE (tunnel host->device transfers are slow).
     @jax.jit
-    def dr(samples, ego):
-        return dr_cvar_halfspace(samples, ego, p.alpha, p.delta, p.epsilon,
+    def make_data(key):
+        k1, k2 = jax.random.split(key)
+        samples = (jnp.array([0.5, 0.0], jnp.float32)
+                   + 0.1 * jax.random.normal(k1, (batch, n_samples, 2),
+                                             jnp.float32))
+        ego0 = 0.1 * jax.random.normal(k2, (batch, 2), jnp.float32)
+        return samples, ego0
+
+    samples, ego0 = make_data(jax.random.PRNGKey(seed))
+    jax.block_until_ready((samples, ego0))
+
+    def make_loop(solver):
+        @jax.jit
+        def loop(k):
+            def body(i, carry):
+                ego, acc = carry
+                hs = solver(samples, ego)
+                g = hs.g_tilde
+                acc = acc + jnp.sum(g)
+                # Data dependence: next iteration's ego depends on this
+                # iteration's solution (bounded 1e-6-scale drift).
+                ego = ego0 + 1e-6 * g[:, None]
+                return ego, acc
+            _, acc = jax.lax.fori_loop(
+                0, k, body, (ego0, jnp.float32(0.0)))
+            return acc
+        return loop
+
+    def dr_solver(s, e):
+        return dr_cvar_halfspace(s, e, p.alpha, p.delta, p.epsilon,
                                  p.robot_radius, p.obstacle_radius)
 
-    @jax.jit
-    def cv(samples, ego):
-        return cvar_halfspace(samples, ego, p.alpha, p.delta,
+    def cv_solver(s, e):
+        return cvar_halfspace(s, e, p.alpha, p.delta,
                               p.robot_radius, p.obstacle_radius)
 
-    t_dr = _timed(dr, samples, ego)
-    t_cv = _timed(cv, samples, ego)
+    sample_bytes = batch * n_samples * 2 * 4
+    out = {}
 
-    # Pallas fused single-pass kernel (ops/pallas_kernels.py) -- the
-    # fastest TPU path for the same full call; falls back to the XLA
-    # number off-TPU.
+    t_dr, rtt, _ = _loop_time(make_loop(dr_solver), k_iters)
+    bw_dr, hard = _gate_bandwidth("drcvar_xla", sample_bytes, t_dr,
+                                  sample_bytes, peak_gbps)
+    out["drcvar_xla_solves_per_s"] = batch / t_dr
+    out["drcvar_xla_implied_hbm_gbps"] = bw_dr
+
+    t_cv, _, _ = _loop_time(make_loop(cv_solver), k_iters)
+    _gate_bandwidth("cvar_xla", sample_bytes, t_cv, sample_bytes, peak_gbps)
+    out["cvar_solves_per_s"] = batch / t_cv
+
+    # Pallas fused single-pass kernel: the production TPU path
+    # (simulation/environment.py routes to it on TPU).
     t_pl = t_dr
     if jax.devices()[0].platform != "cpu":
         from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
             fused_drcvar_halfspace)
+        from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+            Halfspace)
 
-        def pl_dr(samples, ego):
-            return fused_drcvar_halfspace(
-                samples, ego, p.alpha, p.delta, p.epsilon,
+        def pl_solver(s, e):
+            h, g = fused_drcvar_halfspace(
+                s, e, p.alpha, p.delta, p.epsilon,
                 p.robot_radius, p.obstacle_radius)
+            return Halfspace(h, g)
 
-        t_pl = _timed(pl_dr, samples, ego)
+        t_pl, _, _ = _loop_time(make_loop(pl_solver), k_iters)
+        bw_pl, _ = _gate_bandwidth("drcvar_pallas", sample_bytes, t_pl,
+                                   sample_bytes, peak_gbps)
+        out["drcvar_pallas_implied_hbm_gbps"] = bw_pl
+    out["drcvar_pallas_solves_per_s"] = batch / t_pl
+    out["drcvar_solves_per_s"] = batch / min(t_dr, t_pl)
 
-    # Single-call latency (batch=1): the real-time-control number.
-    t_lat = _timed(dr, samples[:1], ego[:1])
-    return {
-        "drcvar_solves_per_s": batch / min(t_dr, t_pl),
-        "drcvar_xla_solves_per_s": batch / t_dr,
-        "drcvar_pallas_solves_per_s": batch / t_pl,
-        "cvar_solves_per_s": batch / t_cv,
-        "drcvar_p50_latency_ms": t_lat * 1e3,
-    }
+    # Batch-1 chained latency: the real-time-control number (per-solve
+    # device latency, RTT excluded; K chained solves in one program).
+    s1, e1 = samples[:1], ego0[:1]
+
+    @jax.jit
+    def lat_loop(k):
+        def body(i, carry):
+            ego, acc = carry
+            hs = dr_solver(s1, ego)
+            acc = acc + jnp.sum(hs.g_tilde)
+            return e1 + 1e-6 * hs.g_tilde[:, None], acc
+        _, acc = jax.lax.fori_loop(0, k, body, (e1, jnp.float32(0.0)))
+        return acc
+
+    t_lat, _, _ = _loop_time(lat_loop, 512)
+    out["drcvar_batch1_latency_us"] = t_lat * 1e6
+    out["rtt_floor_ms"] = rtt * 1e3
+    out["device_kind"] = device_kind
+    out["halfspace_batch"] = batch
+    out["halfspace_k_iters"] = k_iters
+    # Self-consistency: full-batch iteration must cost more than batch-1.
+    if t_dr <= t_lat:
+        print(json.dumps({"metric": "MEASUREMENT_REJECTED",
+                          "bench": "halfspace_selfcheck",
+                          "reason": "batch-32768 per-iter time <= batch-1"}))
+        sys.exit(1)
+    return out
 
 
-def bench_mpc(batch=512, seed=0, n_obs=1):
-    """Batched MPC interior-point solves (H=30, soft halfspaces)."""
+def bench_mpc(batch=512, k_iters=8, seed=0, n_obs=3):
+    """Batched MPC interior-point solves at the reference stress shape:
+    H=30, n_obs=3 (multi_obstacle -- 90 soft halfspace rows + boxes).
+
+    Compute-bound (60x60 Cholesky chains), so no hard bandwidth gate;
+    honesty comes from the in-program chained loop + value readback, a
+    conservative FLOP floor, and self-consistency with batch 1.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -117,59 +260,119 @@ def bench_mpc(batch=512, seed=0, n_obs=1):
     A, B, C = create_double_integrator_matrices(p.dt, dtype=jnp.float32)
     prob = build_mpc_problem(A, B, C, p.q_weight, p.r_weight, p.horizon,
                              n_obs)
-    rng = np.random.default_rng(seed)
     H = p.horizon
-    x0 = jnp.asarray(rng.normal(size=(batch, 4)) * 0.1, jnp.float32)
-    x_ref = jnp.asarray(
-        np.cumsum(0.2 * rng.normal(size=(batch, H + 1, 4)), axis=1),
-        jnp.float32)
-    hs_h = rng.normal(size=(batch, H, n_obs, 2))
-    hs_h /= np.linalg.norm(hs_h, axis=-1, keepdims=True)
-    hs_h = jnp.asarray(hs_h, jnp.float32)
-    hs_g = jnp.asarray(rng.uniform(-1.5, 0.2, size=(batch, H, n_obs)),
-                       jnp.float32)
+
+    @jax.jit
+    def make_data(key):
+        ks = jax.random.split(key, 4)
+        x0 = 0.1 * jax.random.normal(ks[0], (batch, 4), jnp.float32)
+        x_ref = jnp.cumsum(
+            0.2 * jax.random.normal(ks[1], (batch, H + 1, 4), jnp.float32),
+            axis=1)
+        hs_h = jax.random.normal(ks[2], (batch, H, n_obs, 2), jnp.float32)
+        hs_h = hs_h / jnp.linalg.norm(hs_h, axis=-1, keepdims=True)
+        hs_g = jax.random.uniform(ks[3], (batch, H, n_obs), jnp.float32,
+                                  -1.5, 0.2)
+        return x0, x_ref, hs_h, hs_g
+
+    x0_0, x_ref, hs_h, hs_g = make_data(jax.random.PRNGKey(seed))
+    jax.block_until_ready(x0_0)
+
     u_min = jnp.asarray([-5.0, -5.0], jnp.float32)
     u_max = -u_min
     p_min = jnp.asarray([-10.0, -10.0], jnp.float32)
     p_max = -p_min
 
-    @jax.jit
     def solve(x0, x_ref, hs_h, hs_g):
-        return jax.vmap(
+        u, _, _, obj = jax.vmap(
             lambda a, b, c, d: _filter_core(prob, a, b, c, d, u_min, u_max,
                                             p_min, p_max, 35, 3e-5)
         )(x0, x_ref, hs_h, hs_g)
+        return u, obj
 
-    t = _timed(solve, x0, x_ref, hs_h, hs_g, repeats=6, chain=2)
-    return {"mpc_qp_solves_per_s": batch / t}
+    def make_loop(x0_init, xr, hh, hg):
+        @jax.jit
+        def loop(k):
+            def body(i, carry):
+                x0, acc = carry
+                u, obj = solve(x0, xr, hh, hg)
+                acc = acc + jnp.sum(obj)
+                # next x0 depends on this iteration's solution
+                x0 = x0_init + 1e-6 * u[:, 0, :].mean(-1, keepdims=True)
+                return x0, acc
+            _, acc = jax.lax.fori_loop(
+                0, k, body, (x0_init, jnp.float32(0.0)))
+            return acc
+        return loop
+
+    t, rtt, _ = _loop_time(make_loop(x0_0, x_ref, hs_h, hs_g), k_iters)
+    per_qp = t / batch
+    # FLOP floor: >= 35 IPM iterations x ~3 MFLOP (Schur assembly two
+    # 240x60x60-ish matmuls + 60^3/3 Cholesky + solves) ~ 100 MFLOP/QP;
+    # v5e f32 peak ~49 TFLOP/s -> >= 2 us/QP.  Refuse anything faster.
+    if per_qp < 2e-6:
+        print(json.dumps({"metric": "MEASUREMENT_REJECTED",
+                          "bench": "mpc",
+                          "reason": f"{per_qp*1e6:.2f} us/QP beats the "
+                                    "FLOP floor (~2 us at v5e f32 peak)"}))
+        sys.exit(1)
+
+    t1, _, _ = _loop_time(
+        make_loop(x0_0[:1], x_ref[:1], hs_h[:1], hs_g[:1]), 64)
+    return {"mpc_qp_solves_per_s": batch / t,
+            "mpc_qp_n_obs": n_obs,
+            "mpc_qp_batch1_latency_ms": t1 * 1e3}
 
 
-def bench_pipeline(batch=256, n_samples=1000, seed=0):
+def bench_pipeline(batch=256, n_samples=1000, k_iters=2, seed=0):
     """Full DR-CVaR scenario pipelines per second (multi-obstacle,
-    N samples/obstacle: generation + planning + halfspaces + 3 MPC
-    solves + distances)."""
+    N=1000 samples/obstacle: generation + planning + halfspaces under
+    all 3 metrics + 3 vmapped MPC solves + distances)."""
     import jax
     import jax.numpy as jnp
 
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.config import (
         Parameters, get_scenario_config)
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.pipeline import (
-        make_statics)
-    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.parallel import (
-        make_mesh, run_batch_sharded)
+        make_statics, run_scenario_core)
 
     params = Parameters(num_samples=n_samples, sim_time=6.0)
     scenario = get_scenario_config("multi_obstacle")
     statics = make_statics(scenario, params, jnp.float32)
     n_steps = int(params.sim_time / params.dt)
-    mesh = make_mesh(n_samples=1)
+
+    ego_start = jnp.asarray(scenario.ego_start, jnp.float32)
+    ego_goal = jnp.asarray(scenario.ego_goal, jnp.float32)
+    starts = jnp.asarray(scenario.obstacle_starts, jnp.float32)
+    dirs = jnp.asarray(scenario.obstacle_directions, jnp.float32)
+    speeds = jnp.asarray(scenario.obstacle_speeds, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(seed), batch)
 
-    def run():
-        return run_batch_sharded(mesh, statics, keys, scenario, params,
-                                 n_steps)
+    def one(key, ego_s):
+        res = run_scenario_core(
+            statics, key, ego_s, ego_goal, starts, dirs, speeds,
+            n_steps, n_samples, params.noise_var, params.ego_velocity,
+            qp_iters=35, qp_tol=3e-5)
+        return res.distances.min(), res.filtered_u.sum()
 
-    t = _timed(run, repeats=3, chain=1)
+    @jax.jit
+    def loop(k):
+        def body(i, carry):
+            ego_b, acc = carry
+            # fold the iteration index into the keys so obstacle
+            # generation is not loop-invariant (cannot be hoisted)
+            ks = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+            dmin, usum = jax.vmap(one)(ks, ego_b)
+            acc = acc + jnp.sum(dmin) + jnp.sum(usum)
+            # data dependence across iterations
+            ego_b = ego_start[None] + 1e-6 * dmin[:, None]
+            return ego_b, acc
+        ego_b0 = jnp.broadcast_to(ego_start, (batch, 2))
+        _, acc = jax.lax.fori_loop(0, k, body,
+                                   (ego_b0, jnp.float32(0.0)))
+        return acc
+
+    t, _, _ = _loop_time(loop, k_iters, repeats=2)
     return {"pipeline_scenarios_per_s": batch / t}
 
 
@@ -186,13 +389,28 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(value / BASELINE_SOLVES_PER_S, 2),
         "baseline_solves_per_s": round(BASELINE_SOLVES_PER_S, 2),
+        "device_kind": results["device_kind"],
+        "methodology": "in-program lax.fori_loop K-chained iterations, "
+                       "value-readback timing, K=0 RTT subtracted, "
+                       "HBM-bandwidth gate on >VMEM working set",
+        "halfspace_batch": results["halfspace_batch"],
+        "halfspace_k_iters": results["halfspace_k_iters"],
+        "rtt_floor_ms": round(results["rtt_floor_ms"], 3),
         "drcvar_xla_solves_per_s": round(
             results["drcvar_xla_solves_per_s"], 2),
+        "drcvar_xla_implied_hbm_gbps": round(
+            results["drcvar_xla_implied_hbm_gbps"], 1),
         "drcvar_pallas_solves_per_s": round(
             results["drcvar_pallas_solves_per_s"], 2),
+        "drcvar_pallas_implied_hbm_gbps": round(
+            results.get("drcvar_pallas_implied_hbm_gbps", 0.0), 1),
         "cvar_solves_per_s": round(results["cvar_solves_per_s"], 2),
-        "drcvar_p50_latency_ms": round(results["drcvar_p50_latency_ms"], 4),
+        "drcvar_batch1_latency_us": round(
+            results["drcvar_batch1_latency_us"], 2),
         "mpc_qp_solves_per_s": round(results["mpc_qp_solves_per_s"], 2),
+        "mpc_qp_n_obs": results["mpc_qp_n_obs"],
+        "mpc_qp_batch1_latency_ms": round(
+            results["mpc_qp_batch1_latency_ms"], 3),
         "pipeline_scenarios_per_s": round(
             results["pipeline_scenarios_per_s"], 2),
     }

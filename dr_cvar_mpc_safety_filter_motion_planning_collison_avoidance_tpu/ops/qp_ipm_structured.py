@@ -60,14 +60,19 @@ def _pos_step(v, dv, frac):
     return jnp.minimum(1.0, frac * jnp.min(ratio))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=("max_iters", "polish"))
 def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
                  max_iters: int = 60, tol: float | None = None,
-                 reg: float = 0.0):
+                 reg: float = 0.0, polish: bool = True):
     """Solve the slack-structured QP above.
 
     Shapes: P_uu [n,n], q_u [n], G_u [m1,n], h1 [m1], A [m2,n], b [m2],
     p_ss [] or [m2] (diagonal quadratic slack weight), q_s [] or [m2].
+
+    `polish=True` appends an active-set Newton polish (see `_polish`)
+    that takes the float32 iterate from the IPM's merit floor (~1e-4
+    relative) down to linear-solve accuracy (~1e-6) -- needed to meet
+    the <1e-4 end-to-end control-deviation target in float32.
     """
     dtype = P_uu.dtype
     if reg == 0.0:
@@ -76,10 +81,84 @@ def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
         tol = 1e-9 if dtype == jnp.float64 else 3e-5
     with jax.default_matmul_precision("highest"):
         return _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
-                           max_iters, tol, reg)
+                           max_iters, tol, reg, polish)
 
 
-def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg):
+def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
+            u, s, l1, l2, l3, w1, w2, w3):
+    """Active-set Newton polish of a near-optimal IPM iterate.
+
+    The soft-slack structure admits an analytic elimination of every
+    slack case once the active set is known (classified by l > w at the
+    IPM's merit floor):
+
+      * soft row j ACTIVE in `A u - s <= b` but s_j > 0 ("penalized"):
+        s-stationarity gives nu2_j = p_ss s_j + q_s with
+        s_j = A_j u - b_j, i.e. the row acts on u as an EXACT quadratic
+        + linear penalty -- fold p_ss into the Hessian.
+      * soft row ACTIVE with s_j = 0 ("equality"): A_j u = b_j with a
+        free multiplier.
+      * s_j = 0 only (row slack): contributes nothing to u.
+
+    What remains is an equality-constrained QP in u: KKT solved by a
+    Schur complement over the (masked) active rows of [G_u; A].  The
+    polished iterate replaces the IPM one only when its merit is lower.
+    """
+    dtype = P_uu.dtype
+    n = P_uu.shape[0]
+    m1 = G_u.shape[0]
+    eye = jnp.eye(n, dtype=dtype)
+
+    a1 = l1 > w1           # active box rows
+    a2 = l2 > w2           # active soft rows (A u - s = b)
+    a3 = l3 > w3           # active slack-nonnegativity rows (s = 0)
+    m_pen = a2 & ~a3       # soft row active with s > 0 -> exact penalty
+    m_eq = a2 & a3         # soft row active with s = 0 -> equality on u
+
+    pen = jnp.where(m_pen, p_ss, 0.0)
+    K = P_uu + (A.T * pen) @ A + reg * eye
+    q_t = q_u + A.T @ jnp.where(m_pen, q_s - p_ss * b, 0.0)
+
+    E = jnp.concatenate([G_u, A], axis=0)                  # [m1+m2, n]
+    e = jnp.concatenate([h1, b])
+    ma = jnp.concatenate([a1, m_eq]).astype(dtype)         # active mask
+
+    cholK = jax.scipy.linalg.cho_factor(K)
+    KiE = jax.scipy.linalg.cho_solve(cholK, E.T)           # [n, m]
+    Kiq = jax.scipy.linalg.cho_solve(cholK, q_t)
+    M = (ma[:, None] * (E @ KiE) * ma[None, :]
+         + jnp.diag(1.0 - ma)
+         + reg * jnp.eye(E.shape[0], dtype=dtype))
+    rhs = ma * (-(E @ Kiq) - e)
+    cholM = jax.scipy.linalg.cho_factor(M)
+    nu = ma * jax.scipy.linalg.cho_solve(cholM, rhs)
+    u_p = -jax.scipy.linalg.cho_solve(cholK, q_t + E.T @ nu)
+    # One iterative-refinement pass on the stationarity system (f32
+    # Cholesky leaves ~1e-6-relative residual; this buys ~1 digit).
+    r_u = K @ u_p + q_t + E.T @ nu
+    u_p = u_p - jax.scipy.linalg.cho_solve(cholK, r_u)
+
+    Au = A @ u_p
+    s_p = jnp.maximum(jnp.where(m_pen, Au - b, 0.0), 0.0)
+    l1_p = jnp.where(a1, jnp.maximum(nu[:m1], 0.0), 0.0)
+    nu2 = nu[m1:]
+    l2_p = jnp.where(m_pen, p_ss * s_p + q_s,
+                     jnp.where(m_eq, jnp.clip(nu2, 0.0, q_s), 0.0))
+    l3_p = jnp.maximum(p_ss * s_p + q_s - l2_p, 0.0)
+    tiny = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
+    w1_p = jnp.maximum(h1 - G_u @ u_p, tiny)
+    w2_p = jnp.maximum(b - Au + s_p, tiny)
+    w3_p = jnp.maximum(s_p, tiny)
+    # Zero the complementarity products on the active rows (they are
+    # equalities now; residual w is solve noise, not a gap).
+    w1_p = jnp.where(a1, tiny, w1_p)
+    w2_p = jnp.where(a2, tiny, w2_p)
+    w3_p = jnp.where(a3, tiny, w3_p)
+    return u_p, s_p, l1_p, l2_p, l3_p, w1_p, w2_p, w3_p
+
+
+def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
+                polish=False):
     dtype = P_uu.dtype
     n = P_uu.shape[0]
     m1 = G_u.shape[0]
@@ -225,6 +304,16 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg):
         lambda new, old: jnp.where(better, new, old), (l1, l2, l3), bl)
     w1, w2, w3 = jax.tree_util.tree_map(
         lambda new, old: jnp.where(better, new, old), (w1, w2, w3), bw)
+
+    if polish:
+        pol = _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
+                      u, s, l1, l2, l3, w1, w2, w3)
+        merit_p, _ = merit_of(*pol)
+        use_p = jnp.isfinite(merit_p) & (merit_p < best_merit)
+        u, s, l1, l2, l3, w1, w2, w3 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(use_p, new, old),
+            pol, (u, s, l1, l2, l3, w1, w2, w3))
+        best_merit = jnp.where(use_p, merit_p, best_merit)
 
     obj = (0.5 * u @ (P_uu @ u) + q_u @ u
            + 0.5 * jnp.dot(p_ss * s, s) + q_s @ s)
