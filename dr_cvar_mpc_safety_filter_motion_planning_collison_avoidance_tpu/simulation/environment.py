@@ -68,32 +68,63 @@ class Environment:
         return self.C.shape[0]
 
 
-@functools.partial(jax.jit, static_argnames=("env",))
+def _use_pallas_auto(env: Environment) -> bool:
+    """Production TPU path: the fused Pallas kernel (one sample read for
+    all three metrics) when running float32 on a TPU backend; the
+    batched XLA closed form otherwise (CPU, float64)."""
+    return (env.dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+@functools.partial(jax.jit, static_argnames=("env", "use_pallas"))
 def compute_safe_halfspaces_for_trajectory(env: Environment,
-                                           obstacle_samples, x_ref
+                                           obstacle_samples, x_ref,
+                                           use_pallas: bool | None = None
                                            ) -> SafeHalfspaces:
     """Halfspaces for every (t, obstacle, metric) in one fused call.
 
     Reference simulation/environment.py:60-106: for t in range(n_steps),
     slice per-obstacle samples [:, t, :], take ego ref position C@x_ref[t],
     and build mean/CVaR/DR-CVaR halfspaces.  Here the loop axes become
-    array axes.
+    array axes, and on TPU the three metrics are computed by ONE fused
+    Pallas kernel pass over the samples (ops/pallas_kernels.py).
 
     Args:
       obstacle_samples: [n_obs, n_samples, T+1, 2] stacked sample
         trajectories (T+1 >= n_steps).
       x_ref: [H+1, n_states] ego reference trajectory.
+      use_pallas: force the kernel path (True), the XLA path (False) or
+        pick by platform/dtype (None).
     Returns:
       SafeHalfspaces with batch shape [n_steps, n_obs], where
       n_steps = min(len(x_ref), horizon) (environment.py:71).
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas_auto(env)
     n_steps = min(x_ref.shape[0], env.horizon)
+    n_obs, n_samples = obstacle_samples.shape[0], obstacle_samples.shape[1]
     # [n_obs, N, n_steps, 2] -> [n_steps, n_obs, N, 2]
     samples_t = jnp.transpose(obstacle_samples[:, :, :n_steps, :],
                               (2, 0, 1, 3)).astype(env.dtype)
     ego_pos = (x_ref[:n_steps].astype(env.dtype) @ env.C.T)    # [n_steps, 2]
-    ego_pos_b = ego_pos[:, None, :]                            # broadcast obs
 
+    if use_pallas:
+        from ..ops.pallas_kernels import fused_metric_halfspaces
+        flat = samples_t.reshape(n_steps * n_obs, n_samples, 2)
+        ego_flat = jnp.broadcast_to(ego_pos[:, None, :],
+                                    (n_steps, n_obs, 2)).reshape(-1, 2)
+        hm, gm, h, gc, gd = fused_metric_halfspaces(
+            flat, ego_flat, env.alpha, env.delta, env.epsilon,
+            env.robot_radius, env.obstacle_radius)
+        shape2 = (n_steps, n_obs, 2)
+        shape1 = (n_steps, n_obs)
+        return SafeHalfspaces(
+            mean=Halfspace(hm.reshape(shape2), gm.reshape(shape1)),
+            cvar=Halfspace(h.reshape(shape2), gc.reshape(shape1)),
+            dr_cvar=Halfspace(h.reshape(shape2), gd.reshape(shape1)),
+        )
+
+    ego_pos_b = ego_pos[:, None, :]                            # broadcast obs
     mean_hs = mean_halfspace(samples_t, env.robot_radius, env.obstacle_radius)
     cvar_hs = cvar_halfspace(samples_t, ego_pos_b, env.alpha, env.delta,
                              env.robot_radius, env.obstacle_radius)

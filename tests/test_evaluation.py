@@ -129,6 +129,67 @@ def test_pallas_kernel_interpret_mode():
                                atol=1e-5)
 
 
+def test_pallas_all_metrics_interpret_mode():
+    """Fused all-metrics Pallas kernel (the production TPU halfspace
+    path) equals the XLA closed forms for mean, CVaR AND DR-CVaR in one
+    pass (interpreter mode on CPU; compiled path exercised on TPU)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        cvar_halfspace, dr_cvar_halfspace, mean_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_metric_halfspaces)
+    rng = np.random.default_rng(3)
+    B, N = 11, 50   # non-multiple of the tile to exercise padding
+    samples = jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32)
+    ego = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    hm, gm, h, gc, gd = fused_metric_halfspaces(
+        samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3, interpret=True)
+    m_ref = mean_halfspace(samples, 0.3, 0.3)
+    c_ref = cvar_halfspace(samples, ego, 0.2, 0.1, 0.3, 0.3)
+    d_ref = dr_cvar_halfspace(samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3)
+    f32 = lambda x: np.asarray(x).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(hm), f32(m_ref.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gm), f32(m_ref.g_tilde), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), f32(c_ref.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), f32(c_ref.g_tilde), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), f32(d_ref.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd), f32(d_ref.g_tilde), atol=1e-5)
+
+
+def test_environment_pallas_path_interpret(monkeypatch):
+    """compute_safe_halfspaces_for_trajectory(use_pallas=True) matches
+    the XLA path on the same inputs (kernel forced to interpret mode
+    via monkeypatching, since tests run on CPU)."""
+    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels as pk
+    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation.environment as env_mod
+
+    orig = pk.fused_metric_halfspaces
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_metric_halfspaces", interp)
+
+    env = env_mod.Environment(robot_radius=0.3, obstacle_radius=0.3,
+                              horizon=6, dt=0.2, alpha=0.2, delta=0.1,
+                              epsilon=0.15, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    samples = jnp.asarray(rng.normal(size=(2, 20, 7, 2)), jnp.float32)
+    x_ref = jnp.asarray(np.cumsum(rng.normal(size=(7, 4)), axis=0),
+                        jnp.float32)
+    hs_pl = env_mod.compute_safe_halfspaces_for_trajectory(
+        env, samples, x_ref, use_pallas=True)
+    hs_ref = env_mod.compute_safe_halfspaces_for_trajectory(
+        env, samples, x_ref, use_pallas=False)
+    for m in ("mean", "cvar", "dr_cvar"):
+        np.testing.assert_allclose(
+            np.asarray(hs_pl.by_metric(m).h),
+            np.asarray(hs_ref.by_metric(m).h), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hs_pl.by_metric(m).g_tilde),
+            np.asarray(hs_ref.by_metric(m).g_tilde), atol=1e-5)
+
+
 def test_timer_and_stats(capsys):
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils.timing import (
         Timer, TimingStats)
