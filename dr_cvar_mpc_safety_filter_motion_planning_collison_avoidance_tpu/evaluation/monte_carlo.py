@@ -111,6 +111,21 @@ def run_monte_carlo_simulation(scenario: Scenario, params: Parameters,
     )
 
 
+def save_mc_result(result: MonteCarloResult, path):
+    """Persist a MonteCarloResult to .npz so long experiments are
+    resumable/re-plottable without re-running (SURVEY.md section 5,
+    checkpoint/resume)."""
+    np.savez(path, **{f: np.asarray(getattr(result, f))
+                      for f in MonteCarloResult._fields})
+
+
+def load_mc_result(path) -> MonteCarloResult:
+    """Inverse of `save_mc_result`."""
+    with np.load(path) as archive:
+        return MonteCarloResult(**{f: jnp.asarray(archive[f])
+                                   for f in MonteCarloResult._fields})
+
+
 def print_mc_summary(result: MonteCarloResult):
     """Human-readable summary mirroring the ghost module's printout."""
     names = list(METRICS) + ["reference"]

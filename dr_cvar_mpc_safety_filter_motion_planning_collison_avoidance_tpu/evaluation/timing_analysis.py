@@ -46,24 +46,55 @@ def _make_batched_solvers(params: Parameters):
     return dr_batch, cvar_batch
 
 
+def save_timing_data(timing_data, path):
+    """Persist the nested timing dict to an .npz checkpoint so long
+    sweeps are resumable (SURVEY.md section 5, checkpoint/resume)."""
+    flat = {}
+    for key, by_n in timing_data.items():
+        for n, values in by_n.items():
+            flat[f"{key}__{int(n)}"] = np.asarray(values, np.float64)
+    np.savez(path, **flat)
+
+
+def load_timing_data(path):
+    """Inverse of `save_timing_data`: .npz -> {key: {n: [ms, ...]}}."""
+    timing_data = {}
+    with np.load(path) as archive:
+        for flat_key in archive.files:
+            key, n = flat_key.rsplit("__", 1)
+            timing_data.setdefault(key, {})[int(n)] = list(archive[flat_key])
+    return timing_data
+
+
 def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
                                                    1500),
                                      n_runs: int = 50, save_dir=None,
                                      params: Parameters | None = None,
                                      repeats: int = 20, seed: int = 0,
-                                     dtype=jnp.float32, verbose=True):
+                                     dtype=jnp.float32, verbose=True,
+                                     resume: bool = False):
     """Sweep sample sizes and time batched halfspace solves.
 
     Reference evaluation/timing_analysis.py:13-132.  Per size:
       * generates `n_runs` random Gaussian instances about [0.5, 0] with
         scale 0.1 and the fixed normal h=[1,1]/sqrt(2) (reference
         timing_analysis.py:58-70);
-      * "setup": in-memory data prep (device put) per batch;
-      * "solve": wall-clock of the batched jitted solve / n_runs;
+      * "setup": host->device transfer of the batch, measured fresh on
+        EVERY repeat (rows are independent samples), amortized /n_runs;
+      * "solve": wall-clock of the batched jitted solve including a
+        device->host readback of the results / n_runs.  The readback is
+        deliberate: `block_until_ready` can ack before execution through
+        remote-tunnel transports (see bench.py methodology), while a
+        result value cannot arrive early -- and the reference's
+        wall-clock also measured result-available-on-host;
       * "call": setup + solve per instance.
     Records `repeats` timed repetitions for boxplot distributions; the
     first (compile) call is excluded, matching the reference's exclusion
     of CVXPY problem construction from its per-call numbers.
+
+    With `resume=True` and a `save_dir`, sizes already present in
+    `save_dir/timing_data.npz` are skipped and the checkpoint is
+    extended -- long sweeps survive interruption.
 
     Returns the same timing_data dict structure as the reference
     (keys: {,cvar_}{setup,solve,call}_times -> {n: [ms, ...]}).
@@ -72,38 +103,57 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
         params = Parameters()
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
+    npz_path = os.path.join(save_dir, "timing_data.npz") if save_dir else None
+
+    keys = ["setup_times", "solve_times", "call_times",
+            "cvar_setup_times", "cvar_solve_times", "cvar_call_times"]
+    timing_data = {k: {n: [] for n in sample_sizes} for k in keys}
+    done_sizes = set()
+    if resume and npz_path and os.path.exists(npz_path):
+        previous = load_timing_data(npz_path)
+        for k, by_n in previous.items():
+            for n, values in by_n.items():
+                if values:
+                    timing_data.setdefault(k, {})[n] = values
+                    done_sizes.add(n)
+        if verbose and done_sizes:
+            print(f"Resuming: sizes {sorted(done_sizes)} loaded from "
+                  f"{npz_path}")
 
     dr_batch, cvar_batch = _make_batched_solvers(params)
     h = jnp.asarray(np.array([1.0, 1.0]) / np.sqrt(2.0), dtype)
     rng = np.random.default_rng(seed)
 
-    keys = ["setup_times", "solve_times", "call_times",
-            "cvar_setup_times", "cvar_solve_times", "cvar_call_times"]
-    timing_data = {k: {n: [] for n in sample_sizes} for k in keys}
-
     for n_samples in sample_sizes:
+        if n_samples in done_sizes:
+            continue
         if verbose:
             print(f"Testing with {n_samples} samples...")
         samples_np = (np.array([0.5, 0.0])
                       + 0.1 * rng.normal(size=(n_runs, n_samples, 2)))
-
-        # Setup: one host->device transfer of the instance batch, shared
-        # by both solvers (charged to each, amortized per instance).
-        t0 = time.perf_counter()
-        samples = jax.device_put(jnp.asarray(samples_np, dtype))
-        jax.block_until_ready(samples)
-        setup_ms = (time.perf_counter() - t0) * 1e3 / n_runs
+        samples_j = jnp.asarray(samples_np, dtype)
 
         for solver, prefix in ((dr_batch, ""), (cvar_batch, "cvar_")):
-            jax.block_until_ready(solver(samples, h))  # compile (excluded)
+            # Compile + first transfer (excluded, like the reference's
+            # CVXPY problem construction).
+            np.asarray(solver(jax.device_put(samples_j), h))
             for _ in range(repeats):
+                # Setup: a fresh host->device transfer, completion forced
+                # by reading one element back.
                 t0 = time.perf_counter()
-                jax.block_until_ready(solver(samples, h))
+                samples = jax.device_put(samples_j)
+                float(samples[0, 0, 0])
+                setup_ms = (time.perf_counter() - t0) * 1e3 / n_runs
+
+                t0 = time.perf_counter()
+                np.asarray(solver(samples, h))
                 solve_ms = (time.perf_counter() - t0) * 1e3 / n_runs
                 timing_data[prefix + "setup_times"][n_samples].append(setup_ms)
                 timing_data[prefix + "solve_times"][n_samples].append(solve_ms)
                 timing_data[prefix + "call_times"][n_samples].append(
                     setup_ms + solve_ms)
+        if npz_path:
+            save_timing_data(timing_data, npz_path)  # checkpoint per size
 
     plot_timing_results(timing_data, list(sample_sizes), save_dir)
     create_comparison_table(timing_data, list(sample_sizes), save_dir,

@@ -57,6 +57,13 @@ class ScenarioResult(NamedTuple):
     qp_converged: jax.Array     # [3] bool
     used_fallback: jax.Array    # [3] bool
     objective: jax.Array        # [3]
+    # Per-solve introspection, the in-memory replacement for the
+    # reference's tmp/timing_info_*.json side channel (reference
+    # core/risk_metrics.py:16-33, core/halfspaces.py:142-148).
+    qp_iterations: jax.Array    # [3] int32 IPM iterations per metric
+    qp_gap: jax.Array           # [3] final complementarity gap
+    wall_time_ms: jax.Array     # [] host wall time; -1 inside jit,
+                                # filled by run_single_scenario
     distances: jax.Array        # [3, T] per-metric distance to collision
     reference_distance: jax.Array   # [T] unfiltered reference distance
     halfspaces: SafeHalfspaces  # batch [H, n_obs]
@@ -177,6 +184,8 @@ def run_scenario_with_obstacles(statics: PipelineStatics,
         filtered_x=x_final, filtered_u=u_final, slack=slack,
         qp_converged=sol.converged, used_fallback=use_fb,
         objective=objective,
+        qp_iterations=sol.iterations, qp_gap=sol.gap,
+        wall_time_ms=jnp.asarray(-1.0, dtype),
         distances=distances, reference_distance=ref_distance,
         halfspaces=halfspaces, obstacles=obstacles,
     )
@@ -191,6 +200,8 @@ def run_single_scenario(scenario: Scenario, params: Parameters,
     Counterpart of reference main.run_single_scenario (main.py:19-186)
     minus plotting (see simulation/visualization.py and cli.py).
     """
+    import time
+
     if key is None:
         key = jax.random.PRNGKey(seed)
     if statics is None:
@@ -198,10 +209,17 @@ def run_single_scenario(scenario: Scenario, params: Parameters,
     sim_time = scenario.sim_time if scenario.sim_time is not None \
         else params.sim_time
     n_steps = int(sim_time / params.dt)
-    return run_scenario_core(
+    t0 = time.perf_counter()
+    result = run_scenario_core(
         statics, key,
         jnp.asarray(scenario.ego_start), jnp.asarray(scenario.ego_goal),
         jnp.asarray(scenario.obstacle_starts),
         jnp.asarray(scenario.obstacle_directions),
         jnp.asarray(scenario.obstacle_speeds),
         n_steps, params.num_samples, params.noise_var, params.ego_velocity)
+    # Force a device->host value readback before stopping the clock:
+    # through remote tunnels block_until_ready can ack before execution,
+    # but a result value cannot arrive early (see bench.py methodology).
+    float(result.objective.sum())
+    wall_ms = (time.perf_counter() - t0) * 1e3
+    return result._replace(wall_time_ms=jnp.asarray(wall_ms, dtype))

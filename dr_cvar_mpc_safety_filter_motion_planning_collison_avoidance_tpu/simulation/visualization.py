@@ -194,12 +194,20 @@ def animate_scenario(ego_trajectory, obstacle_trajectories, robot_radius,
     obs_patches = [_robot_circle(ax, o[0], obstacle_radius, "red", 0.6)
                    for o in obstacles]
     hs_lines = []
+    hs_arrows = []
     if halfspaces_h is not None:
         hs_h = np.asarray(halfspaces_h)
         hs_g = np.asarray(halfspaces_g)
         for _ in range(hs_h.shape[1]):
             line, = ax.plot([], [], "g-", alpha=0.7, linewidth=1.2)
             hs_lines.append(line)
+            # Safe-direction arrow from the ego along -h/||h|| (the
+            # direction into {y : h.y + g <= 0}), length 2*robot_radius
+            # (reference simulation/visualization.py:330-347).
+            arrow = ax.quiver([ego[0, 0]], [ego[0, 1]], [0.0], [0.0],
+                              color="green", alpha=0.4, angles="xy",
+                              scale_units="xy", scale=1.0, width=0.008)
+            hs_arrows.append(arrow)
     ax.legend(loc="upper right")
 
     def update(frame):
@@ -208,14 +216,20 @@ def animate_scenario(ego_trajectory, obstacle_trajectories, robot_radius,
         for patch, obs in zip(obs_patches, obstacles):
             patch.center = tuple(obs[frame])
         if hs_lines and frame < hs_h.shape[0]:
-            for j, line in enumerate(hs_lines):
+            for j, (line, arrow) in enumerate(zip(hs_lines, hs_arrows)):
                 seg = _halfspace_line(hs_h[frame, j], hs_g[frame, j],
                                       xlim, ylim)
                 if seg is not None:
                     line.set_data(seg[:, 0], seg[:, 1])
                 else:
                     line.set_data([], [])
-        return [ego_line, ego_patch] + obs_patches + hs_lines
+                h = hs_h[frame, j]
+                norm = np.linalg.norm(h)
+                safe_dir = -h / norm if norm > 1e-9 else np.zeros(2)
+                arrow.set_offsets([ego[frame, :2]])
+                arrow.set_UVC([safe_dir[0] * 2 * robot_radius],
+                              [safe_dir[1] * 2 * robot_radius])
+        return [ego_line, ego_patch] + obs_patches + hs_lines + hs_arrows
 
     anim = FuncAnimation(fig, update, frames=n_frames, interval=interval,
                          blit=True)

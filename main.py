@@ -38,10 +38,17 @@ def run_single(args):
         result = dct.models.run_single_scenario(scenario, params,
                                                 seed=args.seed, dtype=dtype)
 
+    # In-memory counterpart of the reference's per-solve timing side
+    # channel (reference core/risk_metrics.py:16-33): solver iteration /
+    # gap / wall-time info rides in the result struct itself.
     print("\nMPC Feasibility Information:")
     for i, metric in enumerate(dct.models.METRICS):
         status = "optimal" if bool(result.qp_converged[i]) else "fallback"
-        print(f"{metric} status: {status}")
+        print(f"{metric} status: {status}  "
+              f"(ipm_iters={int(result.qp_iterations[i])}, "
+              f"gap={float(result.qp_gap[i]):.2e})")
+    print(f"pipeline wall time: {float(result.wall_time_ms):.1f} ms "
+          f"(jit + all 3 metrics)")
 
     distances = {m: np.asarray(result.distances[i])
                  for i, m in enumerate(dct.models.METRICS)}
@@ -116,6 +123,9 @@ def run_monte_carlo(args):
     dct.evaluation.print_mc_summary(result)
 
     os.makedirs(args.save_dir, exist_ok=True)
+    npz_path = os.path.join(args.save_dir, f"{args.scenario}_mc_data.npz")
+    dct.evaluation.save_mc_result(result, npz_path)
+    print(f"Saved MC arrays to {npz_path}")
     names = list(dct.models.METRICS) + ["reference"]
     md = np.asarray(result.min_distances)
     viz.compare_risk_metrics(

@@ -70,6 +70,48 @@ def test_timing_analysis_smoke(tmp_path):
     assert os.path.exists(tmp_path / "dr_cvar_computation_time_with_outliers.png")
 
 
+def test_timing_analysis_npz_checkpoint_and_resume(tmp_path):
+    """Sweeps checkpoint per size to timing_data.npz and resume=True
+    skips already-measured sizes (SURVEY.md section 5 checkpoint/resume)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.timing_analysis import (
+        analyze_dr_cvar_computation_time, load_timing_data)
+    first = analyze_dr_cvar_computation_time(
+        sample_sizes=(10,), n_runs=4, repeats=3,
+        save_dir=str(tmp_path), dtype=jnp.float64, verbose=False)
+    npz = tmp_path / "timing_data.npz"
+    assert npz.exists()
+    loaded = load_timing_data(str(npz))
+    np.testing.assert_allclose(loaded["solve_times"][10],
+                               first["solve_times"][10])
+    # Resume with an extra size: size 10 must come back verbatim (not
+    # re-measured), size 30 measured fresh.
+    merged = analyze_dr_cvar_computation_time(
+        sample_sizes=(10, 30), n_runs=4, repeats=3,
+        save_dir=str(tmp_path), dtype=jnp.float64, verbose=False,
+        resume=True)
+    np.testing.assert_allclose(merged["solve_times"][10],
+                               first["solve_times"][10])
+    assert len(merged["solve_times"][30]) == 3
+
+
+def test_mc_result_npz_roundtrip(tmp_path):
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.monte_carlo import (
+        MonteCarloResult, load_mc_result, save_mc_result)
+    rng = np.random.default_rng(5)
+    md = rng.normal(size=(7, 4))
+    result = MonteCarloResult(
+        min_distances=jnp.asarray(md),
+        collisions=jnp.asarray(md < 0),
+        collision_probs=jnp.asarray((md < 0).mean(axis=0)),
+        qp_converged=jnp.ones((7, 3), bool))
+    path = tmp_path / "mc.npz"
+    save_mc_result(result, str(path))
+    loaded = load_mc_result(str(path))
+    for f in MonteCarloResult._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(loaded, f)),
+                                      np.asarray(getattr(result, f)))
+
+
 def test_visualization_smoke(tmp_path):
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation import (
         visualization as viz)
@@ -101,8 +143,13 @@ def test_animation_smoke(tmp_path):
     rng = np.random.default_rng(1)
     ego = np.cumsum(rng.normal(size=(6, 4)) * 0.1, axis=0)
     obs = np.cumsum(rng.normal(size=(1, 6, 2)) * 0.1, axis=1)
+    # With halfspaces: exercises boundary lines AND safe-direction
+    # arrows (reference simulation/visualization.py:330-347).
+    hs_h = rng.normal(size=(6, 1, 2))
+    hs_h /= np.linalg.norm(hs_h, axis=-1, keepdims=True)
+    hs_g = rng.normal(size=(6, 1))
     # mp4 save falls back to GIF when ffmpeg is unavailable
-    viz.animate_scenario(ego, obs, 0.3, 0.3,
+    viz.animate_scenario(ego, obs, 0.3, 0.3, hs_h, hs_g,
                          save_path=str(tmp_path / "anim.mp4"))
     assert (os.path.exists(tmp_path / "anim.mp4")
             or os.path.exists(tmp_path / "anim.gif"))
