@@ -49,6 +49,15 @@ def _distributed_kth_largest(x_local, k: int, axis_name: str,
     batch_shape = x_local.shape[:-1]
     lo0 = jnp.zeros(batch_shape, jnp.uint32)
     hi0 = jnp.full(batch_shape, jnp.uint32(0xFFFFFFFF), jnp.uint32)
+    # Under shard_map, the loop body's psum makes the carry varying over
+    # every manual axis of x_local EXCEPT `axis_name` (counts are
+    # psum-synchronized across it); the initial carry must declare the
+    # same varying set or tracing rejects the loop (vma mismatch).
+    batch_vma = tuple(a for a in getattr(jax.typeof(x_local), "vma", ())
+                      if a != axis_name)
+    if batch_vma:
+        lo0 = jax.lax.pcast(lo0, batch_vma, to="varying")
+        hi0 = jax.lax.pcast(hi0, batch_vma, to="varying")
     lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
     kth_u = jnp.where(lo >> 31 == 1, lo ^ jnp.uint32(0x80000000), ~lo)
     return jax.lax.bitcast_convert_type(kth_u, jnp.float32)
@@ -73,17 +82,22 @@ def dr_cvar_g_sample_parallel(mesh: Mesh, samples, h, alpha, delta, epsilon,
     """DR-CVaR g* with the sample axis sharded over the mesh.
 
     samples: [B, N, 2] with N sharded over mesh axis 'samples';
-    h: [B, 2] replicated.  Returns g_star [B] (replicated).
+    h: [B, 2].  Returns g_star [B].  The batch axis B follows
+    `batch_axis_spec[0]`: None (default) replicates instances over the
+    'data' axis; 'data' shards them (h and the returned g follow),
+    which on a multi-host DCN mesh keeps the sample-axis psums strictly
+    intra-host (parallel/distributed.py layout rule).
 
     The math matches ops/halfspace.dr_cvar_g_star exactly (verified in
-    tests/test_parallel.py against the single-device closed form).
+    tests/test_parallel.py against the single-device closed form and in
+    tests/distributed_worker.py on a real 2-process cluster).
     """
     n_global = samples.shape[1]
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(batch_axis_spec, P(None, None)),
-        out_specs=P(None),
+        in_specs=(batch_axis_spec, P(batch_axis_spec[0], None)),
+        out_specs=P(batch_axis_spec[0]),
     )
     def kernel(samples_local, h_full):
         s_local = jnp.einsum("bnd,bd->bn", samples_local, h_full,

@@ -23,3 +23,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs a real TPU chip (runs in a subprocess; skipped "
+        "when none is attached)")

@@ -50,6 +50,25 @@ def test_sample_parallel_mesh_shapes(n_sp):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_sample_parallel_data_sharded_batch():
+    """DCN-mesh form: instances sharded over 'data' (hosts) AND samples
+    over 'samples' (ICI) -- the multi-host layout of
+    parallel/distributed.py, emulated on the virtual mesh."""
+    from jax.sharding import PartitionSpec as P
+    mesh = make_mesh(n_data=2, n_samples=4)
+    rng = np.random.default_rng(3)
+    samples = jnp.asarray(rng.normal(size=(6, 64, 2)))
+    h = rng.normal(size=(6, 2))
+    h = jnp.asarray(h / np.linalg.norm(h, axis=-1, keepdims=True))
+    g_sp = dr_cvar_g_sample_parallel(mesh, samples, h, ALPHA, DELTA, EPS,
+                                     RR, RO,
+                                     batch_axis_spec=P("data", "samples",
+                                                       None))
+    g_ref, _ = dr_cvar_g_star(samples, h, ALPHA, DELTA, EPS, RR, RO)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_data_sharded_halfspace_matches_single_device():
     mesh = make_mesh(n_data=8, n_samples=1)
     rng = np.random.default_rng(2)
