@@ -81,20 +81,28 @@ class MPCResult(NamedTuple):
 
 def build_mpc_problem(A, B, C, q_weight: float, r_weight: float,
                       horizon: int, n_obstacles: int) -> MPCProblem:
-    """Precompute condensed matrices and the constant Hessian."""
+    """Precompute condensed matrices and the constant Hessian.
+
+    Built at HIGHEST matmul precision: this runs once per problem shape
+    but its products (Gamma'Gamma, C Gamma) ARE the QP data -- on TPU
+    the default f32 matmul's reduced-precision passes would bake ~1e-3
+    errors into the Hessian itself.
+    """
     n = A.shape[0]
     m = B.shape[1]
     p = C.shape[0]
     H = horizon
     Phi, Gamma = condensed_dynamics(A, B, H)
 
-    # Position rows: Theta[t] = C @ Gamma[t-block]  -> [H, p, H*m]
-    Cbar = jnp.kron(jnp.eye(H, dtype=A.dtype), C)
-    Theta = (Cbar @ Gamma).reshape(H, p, H * m)
+    with jax.default_matmul_precision("highest"):
+        # Position rows: Theta[t] = C @ Gamma[t-block]  -> [H, p, H*m]
+        Cbar = jnp.kron(jnp.eye(H, dtype=A.dtype), C)
+        Theta = (Cbar @ Gamma).reshape(H, p, H * m)
 
-    n_u = H * m
-    n_s = H * n_obstacles
-    P_uu = 2.0 * (q_weight * Gamma.T @ Gamma + r_weight * jnp.eye(n_u, dtype=A.dtype))
+        n_u = H * m
+        n_s = H * n_obstacles
+        P_uu = 2.0 * (q_weight * Gamma.T @ Gamma
+                      + r_weight * jnp.eye(n_u, dtype=A.dtype))
     P = jnp.zeros((n_u + n_s, n_u + n_s), A.dtype)
     P = P.at[:n_u, :n_u].set(P_uu)
     P = P.at[n_u:, n_u:].set(2.0 * SLACK_QUAD * jnp.eye(n_s, dtype=A.dtype))

@@ -71,9 +71,13 @@ class Environment:
 def _use_pallas_auto(env: Environment) -> bool:
     """Production TPU path: the fused Pallas kernel (one sample read for
     all three metrics) when running float32 on a TPU backend; the
-    batched XLA closed form otherwise (CPU, float64)."""
-    return (env.dtype == jnp.float32
-            and jax.default_backend() == "tpu")
+    batched XLA closed form otherwise (CPU, float64).  Respects a
+    `jax.default_device(...)` override (e.g. running the CPU reference
+    path from a TPU-backed process)."""
+    default_dev = jax.config.jax_default_device
+    platform = (default_dev.platform if default_dev is not None
+                else jax.default_backend())
+    return env.dtype == jnp.float32 and platform == "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("env", "use_pallas"))
