@@ -44,14 +44,22 @@ def simulate_linear_system(x0, u_sequence, A, B, C):
 
     Reference core/dynamics.py:57-83 (serial Python loop) rebuilt as a
     `lax.scan`.  Shapes: x0 [n], u_sequence [T, m] -> ([T+1, n], [T+1, p]).
-    """
-    def step(x, u):
-        x_next = A @ x + B @ u
-        return x_next, x_next
 
-    _, xs = jax.lax.scan(step, x0, u_sequence)
-    x_sequence = jnp.concatenate([x0[None, :], xs], axis=0)
-    y_sequence = x_sequence @ C.T
+    Runs at HIGHEST matmul precision: on TPU the default f32 matmul's
+    reduced-precision passes inject ~1e-3 relative error PER STEP into
+    the recursion, which compounds to ~4e-2 position error over a
+    horizon-length rollout (measured TPU-vs-CPU) -- far above the <1e-4
+    end-to-end control/distance contract.  The matrices are 4x4; the
+    MXU cost is irrelevant.
+    """
+    with jax.default_matmul_precision("highest"):
+        def step(x, u):
+            x_next = A @ x + B @ u
+            return x_next, x_next
+
+        _, xs = jax.lax.scan(step, x0, u_sequence)
+        x_sequence = jnp.concatenate([x0[None, :], xs], axis=0)
+        y_sequence = x_sequence @ C.T
     return x_sequence, y_sequence
 
 

@@ -129,19 +129,23 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
             continue
         if verbose:
             print(f"Testing with {n_samples} samples...")
-        samples_np = (np.array([0.5, 0.0])
-                      + 0.1 * rng.normal(size=(n_runs, n_samples, 2)))
-        samples_j = jnp.asarray(samples_np, dtype)
+        # Kept as HOST numpy (in the target dtype) so each repeat times a
+        # real host->device transfer: device_put of an already-committed
+        # jax.Array transfers nothing and would only measure readback RTT.
+        samples_np = np.asarray(
+            np.array([0.5, 0.0])
+            + 0.1 * rng.normal(size=(n_runs, n_samples, 2)),
+            dtype=np.dtype(jnp.dtype(dtype).name))
 
         for solver, prefix in ((dr_batch, ""), (cvar_batch, "cvar_")):
             # Compile + first transfer (excluded, like the reference's
             # CVXPY problem construction).
-            np.asarray(solver(jax.device_put(samples_j), h))
+            np.asarray(solver(jax.device_put(samples_np), h))
             for _ in range(repeats):
                 # Setup: a fresh host->device transfer, completion forced
                 # by reading one element back.
                 t0 = time.perf_counter()
-                samples = jax.device_put(samples_j)
+                samples = jax.device_put(samples_np)
                 float(samples[0, 0, 0])
                 setup_ms = (time.perf_counter() - t0) * 1e3 / n_runs
 

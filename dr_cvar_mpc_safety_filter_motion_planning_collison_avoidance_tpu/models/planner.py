@@ -94,8 +94,11 @@ def straight_line_trajectory(planner: Planner, start_pos, goal_pos,
     x_stat = jnp.zeros((H + 1, n), dtype).at[:, :2].set(start_pos[None, :])
     x_ref = jnp.where(degenerate, x_stat, x_ref)
 
-    B_pinv = jnp.linalg.pinv(planner.B)
-    u_ref = (x_ref[1:] - x_ref[:-1] @ planner.A.T) @ B_pinv.T
+    # HIGHEST precision: the default TPU f32 matmul injects ~2e-2 error
+    # into the recovered inputs (measured); these are 4x4/4x2 products.
+    with jax.default_matmul_precision("highest"):
+        B_pinv = jnp.linalg.pinv(planner.B)
+        u_ref = (x_ref[1:] - x_ref[:-1] @ planner.A.T) @ B_pinv.T
     u_ref = jnp.where(degenerate, jnp.zeros_like(u_ref), u_ref)
 
     info = {
@@ -123,6 +126,13 @@ def plan_trajectory(planner: Planner, x0, goal_state,
     dynamics, and optional input/state boxes.  Condensed to input space
     and solved with the batched IPM.  Returns (x_ref, u_ref, info).
     """
+    with jax.default_matmul_precision("highest"):
+        return _plan_trajectory_body(planner, x0, goal_state, input_bounds,
+                                     state_bounds, has_bounds)
+
+
+def _plan_trajectory_body(planner, x0, goal_state, input_bounds,
+                          state_bounds, has_bounds):
     H = planner.horizon
     n, m = planner.n_states, planner.n_inputs
     dtype = planner.A.dtype

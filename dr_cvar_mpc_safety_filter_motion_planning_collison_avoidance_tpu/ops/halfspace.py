@@ -60,6 +60,48 @@ def _project(samples, h):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _centered_diff(samples, ego_ref_pos):
+    """mean(samples) - ego computed as mean(samples - ego).
+
+    Numerically load-bearing: samples and ego are O(10) world positions
+    while their difference near closest approach is O(1e-3).  Averaging
+    FIRST leaves the subtraction's cancellation to amplify the f32
+    representation error of the mean (~5e-7 absolute), which the
+    normalization in `compute_separating_vector` blows up to ~1e-3 in h
+    (measured TPU-vs-CPU).  Subtracting first makes every summand
+    O(sample spread), so rounding is ~1e-8 and the returned difference
+    is accurate (and backend-stable) to ~1e-8 regardless of degeneracy.
+    Returns (centered_samples [..., N, 2], diff [..., 2]).
+    """
+    centered = samples - ego_ref_pos[..., None, :]
+    return centered, jnp.mean(centered, axis=-2)
+
+
+def _normalize_diff(diff):
+    """Unit vector from a (possibly tiny) difference, with the
+    reference's [1, 0] degenerate fallback (core/geometry.py:35-53)."""
+    norm = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    degen = norm < 1e-10
+    fallback = jnp.zeros_like(diff).at[..., 0].set(1.0)
+    return jnp.where(degen, fallback, diff / jnp.where(degen, 1.0, norm))
+
+
+def _centered_cvar_neg_proj(centered, diff, h, ego_ref_pos, alpha):
+    """CVaR_alpha(-h . xi) evaluated on doubly-centered projections.
+
+    Identity (exact for any center c): CVaR(-h.xi) = CVaR(-h.(xi-c)) - h.c
+    with c = ego + mean(xi - ego).  The centered projections are
+    O(sample spread), so the order-statistic tail sums accumulate ~1e-8
+    rounding instead of the ~2e-4 a naive f32 sum of O(10)-magnitude
+    projections suffers (the round-2 on-chip g error).  The single f32
+    rounding of the h.c correction (~5e-7) is the accuracy floor.
+    """
+    s_c = _project(centered - diff[..., None, :], h)
+    center = ego_ref_pos + diff
+    shift = jnp.sum(h * center, axis=-1)
+    return cvar_rockafellar(-s_c, alpha) - shift
+
+
 class Halfspace(NamedTuple):
     """Safe halfspace {y : h . y + g_tilde <= 0} (a pytree of arrays).
 
@@ -109,11 +151,13 @@ def cvar_halfspace(samples, ego_ref_pos, alpha, delta,
 
     samples: [..., N, 2]; ego_ref_pos: [..., 2] (broadcastable).
     """
-    mean_pos = jnp.mean(samples, axis=-2)
-    h = compute_separating_vector(ego_ref_pos, mean_pos)
-    s = _project(samples, h)
+    ego = jnp.broadcast_to(ego_ref_pos,
+                           samples.shape[:-2] + samples.shape[-1:])
+    centered, diff = _centered_diff(samples, ego)
+    h = _normalize_diff(diff)
     r_tilde = (robot_radius + obstacle_radius) * jnp.linalg.norm(h, axis=-1)
-    g_star = cvar_rockafellar(-s, alpha) + r_tilde - delta
+    cvar = _centered_cvar_neg_proj(centered, diff, h, ego, alpha)
+    g_star = cvar + r_tilde - delta
     # Reference keeps g* as the halfspace offset for CVaR
     # (core/halfspaces.py:131: CVaRSafeHalfspace(h, g_value)).
     return Halfspace(h, g_star)
@@ -127,29 +171,39 @@ def dr_cvar_halfspace(samples, ego_ref_pos, alpha, delta, epsilon,
     (core/risk_metrics.py:84-177 via core/halfspaces.py:151-194):
     g* = CVaR_alpha(-s) + r~ - delta + epsilon/alpha, offset g* - r~.
     """
-    mean_pos = jnp.mean(samples, axis=-2)
-    h = compute_separating_vector(ego_ref_pos, mean_pos)
-    s = _project(samples, h)
+    ego = jnp.broadcast_to(ego_ref_pos,
+                           samples.shape[:-2] + samples.shape[-1:])
+    centered, diff = _centered_diff(samples, ego)
+    h = _normalize_diff(diff)
     r_tilde = (robot_radius + obstacle_radius) * jnp.linalg.norm(h, axis=-1)
-    g_star = cvar_rockafellar(-s, alpha) + r_tilde - delta + epsilon / alpha
+    cvar = _centered_cvar_neg_proj(centered, diff, h, ego, alpha)
+    g_star = cvar + r_tilde - delta + epsilon / alpha
     return Halfspace(h, g_star - r_tilde)
+
+
+def _cvar_neg_proj_meancentered(samples, h, alpha):
+    """CVaR_alpha(-h . xi) centered on the sample mean (exact shift
+    identity; see _centered_cvar_neg_proj for why centering matters)."""
+    c = jnp.mean(samples, axis=-2)
+    s_c = _project(samples - c[..., None, :], h)
+    shift = jnp.sum(h * c, axis=-1)
+    return cvar_rockafellar(-s_c, alpha) - shift
 
 
 def dr_cvar_g_star(samples, h, alpha, delta, epsilon,
                    robot_radius, obstacle_radius):
     """Raw (g*, g_tilde) pair for a given normal h, matching the signature
     contract of reference core/risk_metrics.py:268-303."""
-    s = _project(samples, h)
     r_tilde = (robot_radius + obstacle_radius) * jnp.linalg.norm(h, axis=-1)
-    g_star = cvar_rockafellar(-s, alpha) + r_tilde - delta + epsilon / alpha
+    g_star = (_cvar_neg_proj_meancentered(samples, h, alpha)
+              + r_tilde - delta + epsilon / alpha)
     return g_star, g_star - r_tilde
 
 
 def cvar_g_star(samples, h, alpha, delta, robot_radius, obstacle_radius):
     """Raw g* for a given normal h (reference core/risk_metrics.py:306-338)."""
-    s = _project(samples, h)
     r_tilde = (robot_radius + obstacle_radius) * jnp.linalg.norm(h, axis=-1)
-    return cvar_rockafellar(-s, alpha) + r_tilde - delta
+    return _cvar_neg_proj_meancentered(samples, h, alpha) + r_tilde - delta
 
 
 def kth_largest_radix_select(x, k: int, n_iters: int = 32):

@@ -38,9 +38,17 @@ class NativeQPSolution(NamedTuple):
 
 
 def build_library(force: bool = False) -> str:
-    """Compile the shared library if missing; returns its path."""
-    if force or not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+    """Compile the shared library if missing or stale; returns its path.
+
+    Staleness is checked against the C++ source's mtime so tests never
+    validate against an outdated binary (the build tree is untracked;
+    the .so is always produced from source on this host).
+    """
+    src = os.path.join(_NATIVE_DIR, "qp_solver.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if force or stale:
+        subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                        capture_output=True)
     return _LIB_PATH
 

@@ -34,8 +34,10 @@ class QPSolution(NamedTuple):
     gap: jax.Array         # [] final complementarity measure mu
     prim_res: jax.Array    # [] ||max(Gz - h, 0)||_inf
     dual_res: jax.Array    # [] ||Pz + q + G'lam||_inf
-    converged: jax.Array   # [] bool
+    converged: jax.Array   # [] bool: achieved merit < 10*tol (see solve_qp)
     iterations: jax.Array  # [] int32 (iterations until converged, else max)
+    merit: jax.Array       # [] achieved scaled KKT merit, for callers that
+                           #    want their own acceptance threshold
 
 
 def _pos_step(v, dv, frac):
@@ -50,9 +52,17 @@ def solve_qp(P, q, G, h, max_iters: int = 60, tol: float | None = None,
              reg: float = 0.0):
     """Primal-dual IPM solve of min 0.5 z'Pz + q'z s.t. Gz <= h.
 
-    `tol` is the convergence test on (mu, primal res, dual res); iterations
-    always run to `max_iters` (jit-static) but iterates freeze once
-    converged, so extra iterations are harmless no-ops numerically.
+    `tol` is the iteration target on the scaled KKT merit
+    (complementarity + violation + dual residual, scaled by max|q|);
+    iterations stop early on convergence, stagnation, or breakdown.
+
+    ACCEPTANCE CONTRACT: `QPSolution.converged` is True when the best
+    achieved merit is < 10*tol -- the loop aims for `tol` but in float32
+    the achievable merit floor on ill-scaled data can sit slightly above
+    a tight target, and a 10x-looser iterate is still ~3x tighter than
+    the reference's OSQP eps=1e-3 defaults (CVXPY default solver,
+    reference core/mpc_filter.py:151).  Callers needing a different
+    threshold should test `QPSolution.merit` themselves.
     """
     dtype = P.dtype
     n = P.shape[0]
@@ -199,7 +209,7 @@ def _solve_qp_body(P, q, G, h, max_iters, tol, reg):
     converged = best_merit < 10.0 * tol
     lam_orig = lam / row_scale  # duals in the caller's (unscaled) geometry
     return QPSolution(z, lam_orig, obj, gap, prim_res, dual_res, converged,
-                      iters)
+                      iters, best_merit)
 
 
 def solve_qp_batched(P, q, G, h, max_iters: int = 60,

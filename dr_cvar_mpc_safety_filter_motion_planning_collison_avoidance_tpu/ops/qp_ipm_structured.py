@@ -46,11 +46,13 @@ class MPCQPSolution(NamedTuple):
     u: jax.Array           # [n_u]
     s: jax.Array           # [m2] slack variables
     obj: jax.Array
-    gap: jax.Array
+    gap: jax.Array         # complementarity from TRUE slacks (h - G z)
     prim_res: jax.Array
     dual_res: jax.Array
-    converged: jax.Array
+    converged: jax.Array   # achieved merit < 10*tol (see solve_mpc_qp)
     iterations: jax.Array
+    merit: jax.Array       # achieved scaled KKT merit (callers may apply
+                           # their own acceptance threshold)
 
 
 def _pos_step(v, dv, frac):
@@ -133,10 +135,21 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
     cholM = jax.scipy.linalg.cho_factor(M)
     nu = ma * jax.scipy.linalg.cho_solve(cholM, rhs)
     u_p = -jax.scipy.linalg.cho_solve(cholK, q_t + E.T @ nu)
-    # One iterative-refinement pass on the stationarity system (f32
-    # Cholesky leaves ~1e-6-relative residual; this buys ~1 digit).
-    r_u = K @ u_p + q_t + E.T @ nu
-    u_p = u_p - jax.scipy.linalg.cho_solve(cholK, r_u)
+
+    # KKT iterative refinement on BOTH u and nu (f32 Cholesky + the reg
+    # shift leave ~1e-5-relative residual in the first solve; two passes
+    # against the equality-constrained system
+    #     K u + q_t + E_a' nu_a = 0,   E_a u = e_a
+    # pull the on-chip control error to the f32 residual-evaluation
+    # floor, ~1e-6 -- needed for the <1e-4 on-TPU oracle bound).
+    for _ in range(2):
+        r1 = K @ u_p + q_t + E.T @ nu
+        r2 = ma * (E @ u_p - e)
+        t = jax.scipy.linalg.cho_solve(cholK, r1)
+        dnu = ma * jax.scipy.linalg.cho_solve(cholM, r2 - ma * (E @ t))
+        du = -jax.scipy.linalg.cho_solve(cholK, r1 + E.T @ dnu)
+        u_p = u_p + du
+        nu = nu + dnu
 
     Au = A @ u_p
     s_p = jnp.maximum(jnp.where(m_pen, Au - b, 0.0), 0.0)
@@ -317,7 +330,14 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
 
     obj = (0.5 * u @ (P_uu @ u) + q_u @ u
            + 0.5 * jnp.dot(p_ss * s, s) + q_s @ s)
-    gap = (jnp.dot(l1, w1) + jnp.dot(l2, w2) + jnp.dot(l3, w3)) / m_total
+    # Complementarity gap from TRUE slacks (h - Gz), not the IPM's w
+    # iterates: the polish forces w to `tiny` on active rows, which
+    # would make a w-based gap synthetic rather than measured.
+    s1_true = jnp.maximum(h1 - G_u @ u, 0.0)
+    s2_true = jnp.maximum(b - A @ u + s, 0.0)
+    s3_true = jnp.maximum(s, 0.0)
+    gap = (jnp.dot(l1, s1_true) + jnp.dot(l2, s2_true)
+           + jnp.dot(l3, s3_true)) / m_total
     viol_box = (jnp.max(jnp.maximum(G_u @ u - h1, 0.0))
                 if m1 > 0 else jnp.asarray(0.0, dtype))
     viol = jnp.maximum(
@@ -330,4 +350,5 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
     # Acceptance is 10x the iteration target (see module docstring) --
     # still far tighter than the reference's OSQP eps=1e-3 defaults.
     converged = best_merit < 10.0 * tol
-    return MPCQPSolution(u, s, obj, gap, viol, rd, converged, iters)
+    return MPCQPSolution(u, s, obj, gap, viol, rd, converged, iters,
+                         best_merit)

@@ -56,8 +56,7 @@ def initialize_distributed(coordinator_address: str | None = None,
     if num_processes is not None and num_processes <= 1 \
             and coordinator_address is None:
         return False
-    already = getattr(
-        jax._src.distributed.global_state, "client", None) is not None
+    already = jax.distributed.is_initialized()
     if not already:
         kwargs = {}
         if coordinator_address is not None:
@@ -102,7 +101,26 @@ def make_multihost_mesh(n_hosts: int | None = None,
     elif n_hosts is None:
         n_hosts = 1
     if devices_per_host is None:
+        if len(devices) % n_hosts != 0:
+            raise ValueError(
+                f"{len(devices)} devices do not divide evenly over "
+                f"{n_hosts} hosts; pass devices_per_host explicitly or "
+                "trim the device list -- silently dropping devices would "
+                "hide capacity.")
         devices_per_host = len(devices) // n_hosts
     used = n_hosts * devices_per_host
+    if used > len(devices):
+        raise ValueError(
+            f"mesh needs {used} devices but only {len(devices)} exist")
     grid = np.asarray(devices[:used]).reshape(n_hosts, devices_per_host)
+    if jax.process_count() > 1:
+        # The module's contract: every mesh row lives inside ONE process
+        # so 'samples'-axis collectives ride ICI, never DCN.
+        for row in grid:
+            procs = {d.process_index for d in row}
+            if len(procs) != 1:
+                raise ValueError(
+                    "mesh row spans processes "
+                    f"{sorted(procs)}: per-host device counts must be "
+                    "uniform so the samples axis stays intra-host")
     return Mesh(grid, axis_names=("data", "samples"))

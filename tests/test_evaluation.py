@@ -194,11 +194,14 @@ def test_pallas_all_metrics_interpret_mode():
     c_ref = cvar_halfspace(samples, ego, 0.2, 0.1, 0.3, 0.3)
     d_ref = dr_cvar_halfspace(samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3)
     f32 = lambda x: np.asarray(x).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(hm), f32(m_ref.h), atol=1e-6)
+    # h tolerance 5e-6: kernel and XLA closed form are different f32
+    # programs; their ~1e-7 reduction-order difference on the mean is
+    # amplified by the h-normalization when ||mean - ego|| is small.
+    np.testing.assert_allclose(np.asarray(hm), f32(m_ref.h), atol=5e-6)
     np.testing.assert_allclose(np.asarray(gm), f32(m_ref.g_tilde), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h), f32(c_ref.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h), f32(c_ref.h), atol=5e-6)
     np.testing.assert_allclose(np.asarray(gc), f32(c_ref.g_tilde), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(h), f32(d_ref.h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h), f32(d_ref.h), atol=5e-6)
     np.testing.assert_allclose(np.asarray(gd), f32(d_ref.g_tilde), atol=1e-5)
 
 
@@ -231,7 +234,7 @@ def test_environment_pallas_path_interpret(monkeypatch):
     for m in ("mean", "cvar", "dr_cvar"):
         np.testing.assert_allclose(
             np.asarray(hs_pl.by_metric(m).h),
-            np.asarray(hs_ref.by_metric(m).h), atol=1e-6)
+            np.asarray(hs_ref.by_metric(m).h), atol=5e-6)
         np.testing.assert_allclose(
             np.asarray(hs_pl.by_metric(m).g_tilde),
             np.asarray(hs_ref.by_metric(m).g_tilde), atol=1e-5)
