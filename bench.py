@@ -188,8 +188,10 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     out["cvar_solves_per_s"] = batch / t_cv
 
     # Pallas fused single-pass kernel: the production TPU path
-    # (simulation/environment.py routes to it on TPU).
-    t_pl = t_dr
+    # (simulation/environment.py routes to it on TPU).  Off-TPU the
+    # kernel never runs: the pallas keys are OMITTED rather than
+    # aliased to the XLA number.
+    t_pl = None
     if jax.devices()[0].platform != "cpu":
         from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
             fused_drcvar_halfspace)
@@ -206,8 +208,9 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
         bw_pl, _ = _gate_bandwidth("drcvar_pallas", sample_bytes, t_pl,
                                    sample_bytes, peak_gbps)
         out["drcvar_pallas_implied_hbm_gbps"] = bw_pl
-    out["drcvar_pallas_solves_per_s"] = batch / t_pl
-    out["drcvar_solves_per_s"] = batch / min(t_dr, t_pl)
+        out["drcvar_pallas_solves_per_s"] = batch / t_pl
+    out["drcvar_solves_per_s"] = batch / (t_dr if t_pl is None
+                                          else min(t_dr, t_pl))
 
     # Batch-1 chained latency: the real-time-control number (per-solve
     # device latency, RTT excluded; K chained solves in one program).
@@ -238,9 +241,24 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     return out
 
 
-def bench_mpc(batch=512, k_iters=8, seed=0, n_obs=3):
+# Conservative FLOP floor per MPC QP solve (35 Mehrotra iterations x
+# ~2.6 MFLOP Schur assembly/Cholesky/solves + ~30 MFLOP active-set
+# polish).  Used for both the physical gate and the reported MFU, so
+# the MFU figure is a FLOOR (real arithmetic per solve is higher).
+MPC_FLOP_PER_QP = 100e6
+F32_PEAK_TFLOPS = {
+    "TPU v5 lite": 49.0,   # v5e: 197 bf16 TOPS / 4
+    "TPU v5e": 49.0,
+    "TPU v4": 68.0,
+    "TPU v5p": 114.5,
+    "TPU v6e": 91.0,
+}
+
+
+def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
     """Batched MPC interior-point solves at the reference stress shape:
-    H=30, n_obs=3 (multi_obstacle -- 90 soft halfspace rows + boxes).
+    H=30, n_obs=3 (multi_obstacle -- 90 soft halfspace rows + boxes),
+    swept over batch sizes to find the throughput knee (round-3 task 4).
 
     Compute-bound (60x60 Cholesky chains), so no hard bandwidth gate;
     honesty comes from the in-program chained loop + value readback, a
@@ -261,17 +279,23 @@ def bench_mpc(batch=512, k_iters=8, seed=0, n_obs=3):
     prob = build_mpc_problem(A, B, C, p.q_weight, p.r_weight, p.horizon,
                              n_obs)
     H = p.horizon
+    _, device_kind = _hbm_peak_gbps()
+    peak_tflops = next((v for k, v in F32_PEAK_TFLOPS.items()
+                        if k.lower() in device_kind.lower()), 49.0)
+
+    max_batch = max(batches)
 
     @jax.jit
     def make_data(key):
         ks = jax.random.split(key, 4)
-        x0 = 0.1 * jax.random.normal(ks[0], (batch, 4), jnp.float32)
+        x0 = 0.1 * jax.random.normal(ks[0], (max_batch, 4), jnp.float32)
         x_ref = jnp.cumsum(
-            0.2 * jax.random.normal(ks[1], (batch, H + 1, 4), jnp.float32),
-            axis=1)
-        hs_h = jax.random.normal(ks[2], (batch, H, n_obs, 2), jnp.float32)
+            0.2 * jax.random.normal(ks[1], (max_batch, H + 1, 4),
+                                    jnp.float32), axis=1)
+        hs_h = jax.random.normal(ks[2], (max_batch, H, n_obs, 2),
+                                 jnp.float32)
         hs_h = hs_h / jnp.linalg.norm(hs_h, axis=-1, keepdims=True)
-        hs_g = jax.random.uniform(ks[3], (batch, H, n_obs), jnp.float32,
+        hs_g = jax.random.uniform(ks[3], (max_batch, H, n_obs), jnp.float32,
                                   -1.5, 0.2)
         return x0, x_ref, hs_h, hs_g
 
@@ -305,39 +329,63 @@ def bench_mpc(batch=512, k_iters=8, seed=0, n_obs=3):
             return acc
         return loop
 
-    t, rtt, _ = _loop_time(make_loop(x0_0, x_ref, hs_h, hs_g), k_iters)
-    per_qp = t / batch
-    # FLOP floor: >= 35 IPM iterations x ~3 MFLOP (Schur assembly two
-    # 240x60x60-ish matmuls + 60^3/3 Cholesky + solves) ~ 100 MFLOP/QP;
-    # v5e f32 peak ~49 TFLOP/s -> >= 2 us/QP.  Refuse anything faster.
-    if per_qp < 2e-6:
-        print(json.dumps({"metric": "MEASUREMENT_REJECTED",
-                          "bench": "mpc",
-                          "reason": f"{per_qp*1e6:.2f} us/QP beats the "
-                                    "FLOP floor (~2 us at v5e f32 peak)"}))
-        sys.exit(1)
+    sweep = {}
+    best_rate, best_batch = 0.0, batches[0]
+    for batch in batches:
+        # Fewer chained iterations at the largest batches: constant
+        # total work, per-iteration time grows with batch.
+        k = max(2, int(round(k_iters * batches[0] / batch)))
+        t, _, _ = _loop_time(
+            make_loop(x0_0[:batch], x_ref[:batch], hs_h[:batch],
+                      hs_g[:batch]), k)
+        per_qp = t / batch
+        # FLOP floor: >= 35 IPM iterations x ~3 MFLOP (Schur assembly two
+        # 240x60x60-ish matmuls + 60^3/3 Cholesky + solves) + polish
+        # ~ 100 MFLOP/QP; v5e f32 peak ~49 TFLOP/s -> >= 2 us/QP.
+        if per_qp < MPC_FLOP_PER_QP / (peak_tflops * 1e12):
+            print(json.dumps({"metric": "MEASUREMENT_REJECTED",
+                              "bench": "mpc",
+                              "reason": f"{per_qp*1e6:.2f} us/QP beats the "
+                                        "FLOP floor at f32 peak"}))
+            sys.exit(1)
+        rate = batch / t
+        sweep[batch] = round(rate, 1)
+        if rate > best_rate:
+            best_rate, best_batch = rate, batch
 
     t1, _, _ = _loop_time(
         make_loop(x0_0[:1], x_ref[:1], hs_h[:1], hs_g[:1]), 64)
-    return {"mpc_qp_solves_per_s": batch / t,
+    mfu = best_rate * MPC_FLOP_PER_QP / (peak_tflops * 1e12)
+    return {"mpc_qp_solves_per_s": best_rate,
+            "mpc_qp_best_batch": best_batch,
+            "mpc_qp_batch_sweep": sweep,
+            "mpc_qp_mfu_floor_pct": round(100.0 * mfu, 2),
             "mpc_qp_n_obs": n_obs,
             "mpc_qp_batch1_latency_ms": t1 * 1e3}
 
 
-def bench_pipeline(batch=256, n_samples=1000, k_iters=2, seed=0):
+def bench_pipeline(batch=256, n_samples=1000, k_iters=4, seed=0,
+                   preset="custom"):
     """Full DR-CVaR scenario pipelines per second (multi-obstacle,
     N=1000 samples/obstacle: generation + planning + halfspaces under
-    all 3 metrics + 3 vmapped MPC solves + distances)."""
+    all 3 metrics + 3 vmapped MPC solves + distances).
+
+    Run for both parameter presets (custom + paper) so the headline
+    pipeline number covers the reference's two published configurations.
+    """
     import jax
     import jax.numpy as jnp
 
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.config import (
-        Parameters, get_scenario_config)
+        get_parameters, get_scenario_config)
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.pipeline import (
         make_statics, run_scenario_core)
 
-    params = Parameters(num_samples=n_samples, sim_time=6.0)
-    scenario = get_scenario_config("multi_obstacle")
+    import dataclasses
+
+    base = get_parameters(preset)
+    params = dataclasses.replace(base, num_samples=n_samples, sim_time=6.0)
+    scenario = get_scenario_config("multi_obstacle", preset=preset)
     statics = make_statics(scenario, params, jnp.float32)
     n_steps = int(params.sim_time / params.dt)
 
@@ -372,15 +420,57 @@ def bench_pipeline(batch=256, n_samples=1000, k_iters=2, seed=0):
                                    (ego_b0, jnp.float32(0.0)))
         return acc
 
-    t, _, _ = _loop_time(loop, k_iters, repeats=2)
-    return {"pipeline_scenarios_per_s": batch / t}
+    t, _, _ = _loop_time(loop, k_iters, repeats=3)
+    key = ("pipeline_scenarios_per_s" if preset == "custom"
+           else f"pipeline_{preset}_scenarios_per_s")
+    return {key: batch / t}
+
+
+def _northstar_block(results):
+    """BASELINE.md:31-33 contract: >= 10,000 DR-CVaR MPC solves/s on a
+    v5e-16 at N=1000 samples/obstacle, max control deviation < 1e-4.
+
+    Only one chip is reachable here, so the 16-chip figure is a
+    PROJECTION: measured single-chip throughput x 16, justified by the
+    collective census in SCALING.json (the data-sharded solver programs
+    compile to ZERO cross-device collectives -- per-chip work is
+    independent, so scaling is linear up to input/result DMA, which the
+    pipeline amortizes).  The accuracy half of the contract is asserted
+    on hardware by tests/test_tpu.py::test_tpu_northstar_oracle.
+    """
+    import os
+
+    per_chip = results["mpc_qp_solves_per_s"]
+    census = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            s = json.load(f)
+        census = {
+            "halfspace_collectives": s["halfspace_data_sharded"]["total"],
+            "mpc_collectives": s["mpc_data_sharded"]["total"],
+        }
+    return {
+        "target_solves_per_s_v5e16": 10000,
+        "measured_single_chip_mpc_solves_per_s": round(per_chip, 1),
+        "projected_v5e16_solves_per_s": round(per_chip * 16, 1),
+        "projection_margin_x": round(per_chip * 16 / 10000, 1),
+        "projection_basis": "single chip x 16; data-sharded solver "
+                            "programs contain zero cross-device "
+                            "collectives (SCALING.json census)",
+        "data_sharded_collective_census": census,
+        "accuracy_bound": "max|u_TPU - u_oracle| < 1e-4 asserted on "
+                          "chip (tests/test_tpu.py)",
+    }
 
 
 def main():
     results = {}
     results.update(bench_halfspace())
     results.update(bench_mpc())
-    results.update(bench_pipeline())
+    results.update(bench_pipeline(preset="custom"))
+    results.update(bench_pipeline(preset="paper"))
 
     value = results["drcvar_solves_per_s"]
     out = {
@@ -400,20 +490,29 @@ def main():
             results["drcvar_xla_solves_per_s"], 2),
         "drcvar_xla_implied_hbm_gbps": round(
             results["drcvar_xla_implied_hbm_gbps"], 1),
-        "drcvar_pallas_solves_per_s": round(
-            results["drcvar_pallas_solves_per_s"], 2),
-        "drcvar_pallas_implied_hbm_gbps": round(
-            results.get("drcvar_pallas_implied_hbm_gbps", 0.0), 1),
         "cvar_solves_per_s": round(results["cvar_solves_per_s"], 2),
         "drcvar_batch1_latency_us": round(
             results["drcvar_batch1_latency_us"], 2),
         "mpc_qp_solves_per_s": round(results["mpc_qp_solves_per_s"], 2),
+        "mpc_qp_best_batch": results["mpc_qp_best_batch"],
+        "mpc_qp_batch_sweep": results["mpc_qp_batch_sweep"],
+        "mpc_qp_mfu_floor_pct": results["mpc_qp_mfu_floor_pct"],
         "mpc_qp_n_obs": results["mpc_qp_n_obs"],
         "mpc_qp_batch1_latency_ms": round(
             results["mpc_qp_batch1_latency_ms"], 3),
         "pipeline_scenarios_per_s": round(
             results["pipeline_scenarios_per_s"], 2),
+        "pipeline_paper_scenarios_per_s": round(
+            results["pipeline_paper_scenarios_per_s"], 2),
+        "northstar": _northstar_block(results),
     }
+    # Off-TPU the Pallas kernel never runs; omit its keys rather than
+    # alias the XLA number under the Pallas label.
+    if "drcvar_pallas_solves_per_s" in results:
+        out["drcvar_pallas_solves_per_s"] = round(
+            results["drcvar_pallas_solves_per_s"], 2)
+        out["drcvar_pallas_implied_hbm_gbps"] = round(
+            results["drcvar_pallas_implied_hbm_gbps"], 1)
     print(json.dumps(out))
 
 

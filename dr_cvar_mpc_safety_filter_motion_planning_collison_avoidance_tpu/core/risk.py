@@ -55,25 +55,30 @@ def cvar_metric(samples, alpha: float):
 
 
 def cvar_rockafellar(x, alpha: float):
-    """Exact empirical CVaR_alpha along the last axis via top-k.
+    """Exact empirical CVaR_alpha along the last axis.
 
     CVaR_alpha(x) = min_tau tau + 1/(alpha*N) sum_i (x_i - tau)_+
-                  = (sum_{i=1}^{k-1} x_[i] + (alpha*N - (k-1)) * x_[k]) / (alpha*N)
+                  = (sum_{x_i > v} x_i + (alpha*N - #{x_i > v}) * v) / (alpha*N)
 
-    with x_[1] >= x_[2] >= ... the descending order statistics and
-    k = ceil(alpha * N).  For integer alpha*N this is the mean of the k
-    largest samples.  Exact (not iterative), so it reproduces the optimal
-    value of the reference's ECOS-solved programs to float precision.
+    with v = x_[k] the k-th largest sample, k = ceil(alpha * N).  For
+    integer alpha*N this is the mean of the k largest samples.  Exact
+    (not iterative in value -- the order statistic is found by exact
+    bit-pattern bisection), so it reproduces the optimal value of the
+    reference's ECOS-solved programs to float precision.
+
+    Implementation note: v comes from `kth_largest_radix_select`, NOT
+    `jax.lax.top_k` -- under a sharded batch axis XLA's SPMD partitioner
+    all-gathers TopK custom calls (replicating the whole batch on every
+    device, measured in parallel/scaling.py), while the radix select is
+    pure elementwise ops + reductions and partitions cleanly.
     """
+    from ..ops.halfspace import kth_largest_radix_select
+
     n = x.shape[-1]
-    an = alpha * n
-    k = int(math.ceil(an - 1e-12))
+    k = int(math.ceil(alpha * n - 1e-12))
     k = max(min(k, n), 1)
-    top = jax.lax.top_k(x, k)[0]
-    if k == 1:
-        return top[..., 0]
-    head = jnp.sum(top[..., : k - 1], axis=-1)
-    return (head + (an - (k - 1)) * top[..., k - 1]) / an
+    v = kth_largest_radix_select(x, k)
+    return cvar_from_kth(x, v, alpha)
 
 
 def cvar_from_kth(x, kth_value, alpha: float):

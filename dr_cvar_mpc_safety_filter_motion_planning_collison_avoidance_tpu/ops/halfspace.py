@@ -206,23 +206,39 @@ def cvar_g_star(samples, h, alpha, delta, robot_radius, obstacle_radius):
     return _cvar_neg_proj_meancentered(samples, h, alpha) + r_tilde - delta
 
 
-def kth_largest_radix_select(x, k: int, n_iters: int = 32):
+def kth_largest_radix_select(x, k: int, n_iters: int | None = None):
     """Exact k-th largest element along the last axis without sorting.
 
     Bisects on the IEEE-754 bit pattern (monotone for floats after sign
     fold), using only masked counts per step -- every step is a pure
-    reduction, so under a sharded sample axis each count becomes a `psum`
-    and the selection runs sample-parallel across chips (used by
-    parallel/sample_parallel.py and the Pallas kernel in ops/pallas_kernels.py).
-    """
-    if x.dtype != jnp.float32:
-        x = x.astype(jnp.float32)
+    elementwise compare + reduction, so (a) under a sharded sample axis
+    each count becomes a `psum` and the selection runs sample-parallel
+    across chips (parallel/sample_parallel.py), and (b) under a sharded
+    BATCH axis XLA partitions it with zero collectives, unlike
+    `lax.top_k` whose TopK custom call gets all-gathered by the SPMD
+    partitioner (parallel/scaling.py census).
 
-    # Monotone map float32 -> uint32 total order: flip the sign bit for
+    Supports float32 (32-bit keys) and float64 (64-bit keys; the f64
+    path exists for the CPU oracle-parity suite -- TPUs run f32).
+    """
+    if x.dtype == jnp.float64:
+        ui, nbits = jnp.uint64, 64
+        sign_mask = jnp.uint64(0x8000000000000000)
+        ones = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    else:
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        ui, nbits = jnp.uint32, 32
+        sign_mask = jnp.uint32(0x80000000)
+        ones = jnp.uint32(0xFFFFFFFF)
+    if n_iters is None:
+        n_iters = nbits
+
+    # Monotone map float -> unsigned total order: flip the sign bit for
     # non-negatives, flip all bits for negatives.
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    sign = u >> 31
-    keys = jnp.where(sign == 1, ~u, u ^ jnp.uint32(0x80000000))
+    u = jax.lax.bitcast_convert_type(x, ui)
+    sign = u >> (nbits - 1)
+    keys = jnp.where(sign == 1, ~u, u ^ sign_mask)
 
     def body(_, bounds):
         # Invariant: count(keys >= lo) >= k; search the largest such lo.
@@ -230,12 +246,12 @@ def kth_largest_radix_select(x, k: int, n_iters: int = 32):
         mid = lo + (hi - lo) // 2 + (hi - lo) % 2  # round up
         count = jnp.sum(keys >= mid[..., None], axis=-1)
         ok = count >= k
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - jnp.uint32(1))
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - ui(1))
 
     batch_shape = x.shape[:-1]
-    lo0 = jnp.zeros(batch_shape, jnp.uint32)
-    hi0 = jnp.full(batch_shape, jnp.uint32(0xFFFFFFFF), jnp.uint32)
+    lo0 = jnp.zeros(batch_shape, ui)
+    hi0 = jnp.full(batch_shape, ones, ui)
     lo, _ = jax.lax.fori_loop(0, n_iters, body, (lo0, hi0))
 
-    kth_u = jnp.where(lo >> 31 == 1, lo ^ jnp.uint32(0x80000000), ~lo)
-    return jax.lax.bitcast_convert_type(kth_u, jnp.float32)
+    kth_u = jnp.where(lo >> (nbits - 1) == 1, lo ^ sign_mask, ~lo)
+    return jax.lax.bitcast_convert_type(kth_u, x.dtype)

@@ -111,28 +111,108 @@ def test_reference_curve_features(head_on_reference_run):
     assert -0.60 <= ref.min() <= -0.40
 
 
+# Curve values extracted from the reference's published artifact
+# /root/reference/results/Custom_Scenarios/head_on_results.png by pixel
+# analysis (matplotlib default line colors located per timestep column;
+# axes calibrated on the integer gridlines, calibration residual < 0.02
+# data units; np.nan where curves overlap and occlude each other).
+# The same extraction validates itself below: our engine's mean and
+# cvar curves match these to <= 0.08 (pixel quantization), which pins
+# the seed-42 stream, alpha, delta, and the plot's data mapping.
+PUBLISHED_PNG_DR_CVAR = np.array([
+    np.nan, 7.16, 6.97, 6.26, 6.20, 5.57, 5.35, 4.77, 4.41, 3.94, 3.47,
+    3.05, 2.46, 2.02, 1.27, 0.58, -0.07, 0.16, 1.01, 1.66, 2.47, 2.89,
+    3.58, 3.83, 3.95, 4.66, 4.93, 5.25, 5.57, 5.76, 5.91])
+PUBLISHED_PNG_CVAR = np.array([
+    np.nan, np.nan, 6.92, 6.15, 6.02, 5.30, 5.00, 4.33, 3.87, 3.29, 2.75,
+    2.26, 1.63, 1.21, 0.55, 0.04, -0.36, -0.09, 0.53, 1.00, 1.72, 2.11,
+    2.81, np.nan, 3.23, 4.01, 4.34, 4.72, 5.10, 5.32, 5.51])
+PUBLISHED_PNG_MEAN = np.array([
+    np.nan, np.nan, np.nan, 6.19, 6.08, 5.40, 5.13, 4.51, 4.11, 3.62,
+    3.15, 2.78, 2.30, np.nan, 1.57, 1.28, 1.07, 0.83, 0.63, 0.25, -0.05,
+    -0.03, 0.58, 1.00, 1.33, 2.23, 2.74, 3.28, 3.79, 4.16, 4.48])
+
+# Constant extra margin on the dr_cvar halfspace offset that reproduces
+# the PNG's dr_cvar trace from the CURRENT reference program (best-fit
+# plateau 1.36..1.41 at pixel precision; 1.35 = r~ + eps/alpha, i.e.
+# the old build attaching g* + eps/alpha instead of g* - r~).
+PNG_DR_CVAR_OFFSET_SHIFT = 1.38
+
+
 def test_dr_cvar_curve_features(head_on_reference_run):
     """dr_cvar dips near step 16, slightly above the cvar curve.
 
-    NOTE a documented divergence from the published PNG: the plot shows
-    dr_cvar bottoming at ~-0.1 while the CURRENT reference source yields
-    ~-0.39 on the seed-42 stream.  Evidence the PNG is stale, not our
-    math: (a) mean/cvar/reference curves match the plot to reading
-    precision on the same stream, pinning seed and alpha/delta; (b) our
-    dr_cvar g* equals the current reference program's optimum via an
-    independent scipy LP oracle to 1e-7 (test_halfspace_golden.py); the
-    only way the plot's dr_cvar differs is a different epsilon or offset
-    convention in the code version that produced it.  The current
-    conventions: g~_dr = CVaR(-s) - delta + eps/alpha, exactly
-    eps/alpha - r~ = 0.15 tighter than cvar's offset
-    (reference core/risk_metrics.py:297 vs core/halfspaces.py:131).
+    Band tightened to +-0.05 around the LP-oracle-proven optimum of the
+    CURRENT reference program on the seed-42 stream (-0.392; our g*
+    equals that program's ECOS-form optimum to 1e-7 per
+    test_halfspace_golden.py).  The published PNG's dr_cvar trace
+    bottoms at ~-0.1 instead; test_published_png_provenance below
+    identifies it as the same program with a constant ~1.38 extra
+    offset margin (an older offset convention), closing the round-2
+    "stale PNG" hypothesis with a quantitative reproduction.
     """
     d = np.asarray(head_on_reference_run.distance_for("dr_cvar"))
     cv = np.asarray(head_on_reference_run.distance_for("cvar"))
     assert 14 <= int(d.argmin()) <= 18
-    assert -0.50 <= d.min() <= 0.05
+    assert -0.442 <= d.min() <= -0.342
     assert d.min() >= cv.min() - 1e-6  # dr constraint is 0.15 tighter
     assert 5.3 <= d[30] <= 6.3
+
+
+def _masked_maxerr(ours, published):
+    m = ~np.isnan(published)
+    return float(np.max(np.abs(np.asarray(ours)[:31][m] - published[m])))
+
+
+def test_published_png_provenance(head_on_reference_run):
+    """Quantitative provenance of the published head_on artifact.
+
+    (a) Our mean and cvar curves equal the pixel-extracted published
+        curves to <= 0.1 (pixel quantization ~0.03, occlusion ~0.05) --
+        validating both the extraction and the engine against the
+        artifact itself.
+    (b) The published dr_cvar trace is reproduced to the SAME precision
+        by re-solving the MPC with the current dr_cvar halfspaces
+        shifted by a constant +1.38 -- so the PNG came from a variant
+        whose dr_cvar offset was a constant ~r~ + eps/alpha tighter,
+        not from different math (sweep evidence: best-fit plateau
+        1.36..1.41, mean error 0.018; the unshifted current program is
+        off by 0.53 mean / 0.84 max).
+    """
+    run = head_on_reference_run
+    assert _masked_maxerr(run.distance_for("mean"), PUBLISHED_PNG_MEAN) <= 0.1
+    assert _masked_maxerr(run.distance_for("cvar"), PUBLISHED_PNG_CVAR) <= 0.1
+
+    import jax.numpy as jnp
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.core.dynamics import (
+        simulate_linear_system)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.mpc_filter import (
+        _filter_core)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.models.pipeline import (
+        INPUT_BOUNDS, STATE_BOUNDS, make_statics)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation.environment import (
+        compute_distance_to_collision)
+
+    params = Parameters()
+    scenario = get_scenario_config("head_on")
+    env, planner, mpc = make_statics(scenario, params, jnp.float64)
+    obstacles = run.obstacles
+    hs = run.halfspaces.dr_cvar
+    x0 = jnp.zeros((4,), jnp.float64).at[:2].set(
+        jnp.asarray(scenario.ego_start))
+    u, _, _, _ = _filter_core(
+        mpc, x0, run.x_ref, hs.h,
+        hs.g_tilde + PNG_DR_CVAR_OFFSET_SHIFT,
+        jnp.asarray(INPUT_BOUNDS[0]), jnp.asarray(INPUT_BOUNDS[1]),
+        jnp.asarray(STATE_BOUNDS[0][:2]), jnp.asarray(STATE_BOUNDS[1][:2]),
+        60, None)
+    xf, _ = simulate_linear_system(x0, u, env.A, env.B, env.C)
+    d_shifted = compute_distance_to_collision(env, xf, obstacles.realization)
+    assert _masked_maxerr(d_shifted, PUBLISHED_PNG_DR_CVAR) <= 0.1
+    # ... while the unshifted current program is nowhere near the PNG.
+    assert _masked_maxerr(run.distance_for("dr_cvar"),
+                          PUBLISHED_PNG_DR_CVAR) > 0.5
 
 
 def test_mean_curve_features(head_on_reference_run):

@@ -19,7 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _tpu_env():
     """os.environ minus the suite's CPU forcing, so a worker subprocess
-    sees the real chip."""
+    sees the real chip.  Enables the persistent compilation cache:
+    tunnel-remote TPU compiles run minutes, and the workers' programs
+    are identical across runs."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     flags = env.get("XLA_FLAGS", "")
@@ -29,10 +31,12 @@ def _tpu_env():
         env["XLA_FLAGS"] = flags
     else:
         env.pop("XLA_FLAGS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
     return env
 
 
-def _run_worker(name, *args, timeout=900, env=None):
+def _run_worker(name, *args, timeout=1800, env=None):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", name), *args],
         capture_output=True, text=True, env=env or _tpu_env(), cwd=REPO,
