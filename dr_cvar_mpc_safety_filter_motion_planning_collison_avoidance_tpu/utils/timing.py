@@ -10,6 +10,7 @@ in result structs instead of the reference's tmp/*.json file side-channel
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import time
 
@@ -71,6 +72,35 @@ def time_blocked(fn, *args, **kwargs):
     result = fn(*args, **kwargs)
     jax.block_until_ready(result)
     return result, time.perf_counter() - t0
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | None = None):
+    """Optional `jax.profiler` trace of the enclosed block.
+
+    The reference has only wall-clock timers (reference
+    utils/timing.py:8-90); this is the TPU-native deep-profiling hook:
+    pass a directory to capture an XLA/TPU trace viewable in
+    TensorBoard/Perfetto (`xprof`), pass None for a no-op so callers can
+    wrap code unconditionally:
+
+        with trace(args.profile_dir):
+            run_single_scenario(...)
+    """
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region inside a `trace` capture (shows up on the trace
+    timeline). Usable as context manager or decorator."""
+    return jax.profiler.TraceAnnotation(name)
 
 
 class TimingStats:

@@ -1,0 +1,216 @@
+"""Microbench: where does the fused Pallas halfspace kernel spend time?
+
+Times kernel VARIANTS at the bench shape (batch 32768, N=1000) with the
+same chained fori_loop + value-readback methodology as bench.py, to
+attribute cost between the select chain, the projection/mean sweeps,
+and block-shape effects.  Experiment harness only -- not a test.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-10
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _select_current(x, k, alpha, n_samples):
+    """Current production select (while_loop 3-ary early-exit)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
+        pallas_kernels as pk)
+    return pk._block_cvar(x, k, alpha, n_samples)
+
+
+def _select_none(x, k, alpha, n_samples):
+    """Stand-in: masked mean (1 sweep) -- measures everything BUT the
+    select."""
+    fin = x > jnp.float32(-jnp.inf)
+    s = jnp.sum(jnp.where(fin, x, 0.0), axis=1)
+    return s / n_samples
+
+
+def _select_fixed(n_passes):
+    def sel(x, k, alpha, n_samples):
+        """3-ary bisection with a FIXED fori_loop trip count (no early
+        exit, no per-pass cond reduction)."""
+        bt, _ = x.shape
+        u = pltpu.bitcast(x, jnp.uint32)
+        keys = jnp.where(u >> 31 == 1, ~u, u ^ jnp.uint32(0x80000000))
+        finite = x > jnp.float32(-jnp.inf)
+        skeys = pltpu.bitcast(keys ^ jnp.uint32(0x80000000), jnp.int32)
+        smin = jnp.min(jnp.where(finite, skeys, jnp.int32(0x7FFFFFFF)),
+                       axis=1, keepdims=True)
+        smax = jnp.max(jnp.where(finite, skeys, jnp.int32(-0x80000000)),
+                       axis=1, keepdims=True)
+        lo0 = pltpu.bitcast(smin, jnp.uint32) ^ jnp.uint32(0x80000000)
+        hi0 = pltpu.bitcast(smax, jnp.uint32) ^ jnp.uint32(0x80000000)
+        c0 = jnp.full((bt, 1), n_samples, jnp.int32)
+
+        def body(t, state):
+            lo, hi, c_lo = state
+            span = hi - lo
+            third = span // 3
+            m1 = lo + third + jnp.uint32(1)
+            m2 = lo + third * 2 + jnp.uint32(1)
+            d = ((keys >= m1).astype(jnp.int32)
+                 + (keys >= m2).astype(jnp.int32) * 2048)
+            w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
+            c1 = w & 2047
+            c2 = w >> 11
+            ok2 = c2 >= k
+            ok1 = c1 >= k
+            frozen = (c_lo == k) | (lo >= hi)
+            lo_n = jnp.where(ok2, m2, jnp.where(ok1, m1, lo))
+            c_n = jnp.where(ok2, c2, jnp.where(ok1, c1, c_lo))
+            hi_n = jnp.where(ok2, hi,
+                             jnp.where(ok1, m2 - jnp.uint32(1),
+                                       m1 - jnp.uint32(1)))
+            return (jnp.where(frozen, lo, lo_n),
+                    jnp.where(frozen, hi, hi_n),
+                    jnp.where(frozen, c_lo, c_n))
+
+        lo, _, _ = jax.lax.fori_loop(0, n_passes, body, (lo0, hi0, c0))
+        v = jnp.min(jnp.where(keys >= lo, x, jnp.float32(jnp.inf)), axis=1)
+        an = alpha * n_samples
+        gt = x > v[:, None]
+        c = jnp.sum(gt.astype(jnp.float32), axis=1)
+        tail = jnp.sum(jnp.where(gt, x, jnp.float32(0.0)), axis=1)
+        return (tail + (an - c) * v) / an
+    return sel
+
+
+def make_kernel(select_fn):
+    def _kern(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
+              *, n_samples, k, alpha, delta, epsilon, r_combined):
+        sx = sx_ref[:]
+        sy = sy_ref[:]
+        ego = ego_ref[:]
+        bt, n_pad = sx.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (bt, n_pad), 1)
+        mask = col < n_samples
+        inv_n = jnp.float32(1.0 / n_samples)
+        cx = sx - ego[:, 0][:, None]
+        cy = sy - ego[:, 1][:, None]
+        dx = jnp.sum(jnp.where(mask, cx, 0.0), axis=1) * inv_n
+        dy = jnp.sum(jnp.where(mask, cy, 0.0), axis=1) * inv_n
+        norm = jnp.sqrt(dx * dx + dy * dy)
+        degen = norm < _EPS
+        hx = jnp.where(degen, 1.0, dx / jnp.where(degen, 1.0, norm))
+        hy = jnp.where(degen, 0.0, dy / jnp.where(degen, 1.0, norm))
+        x = -((cx - dx[:, None]) * hx[:, None]
+              + (cy - dy[:, None]) * hy[:, None])
+        x = jnp.where(mask, x, jnp.float32(-jnp.inf))
+        shift = hx * (ego[:, 0] + dx) + hy * (ego[:, 1] + dy)
+        cvar = select_fn(x, k, alpha, n_samples) - shift
+        g_star = cvar + r_combined - delta + epsilon / alpha
+        out_g_ref[:] = (g_star - r_combined)[:, None]
+        out_h_ref[:] = jnp.stack([hx, hy], axis=1)
+    return _kern
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "tile_b"))
+def fused(samples, ego, variant="current", tile_b=256):
+    alpha, delta, epsilon = 0.2, 0.1, 0.15
+    r_combined = 0.6
+    B, N, _ = samples.shape
+    n_pad = _round_up(N, 128)
+    b_pad = _round_up(B, tile_b)
+    k = max(min(int(math.ceil(alpha * N - 1e-12)), N), 1)
+    sx = jnp.zeros((b_pad, n_pad), jnp.float32).at[:B, :N].set(
+        samples[:, :, 0])
+    sy = jnp.zeros((b_pad, n_pad), jnp.float32).at[:B, :N].set(
+        samples[:, :, 1])
+    eg = jnp.zeros((b_pad, 2), jnp.float32).at[:B].set(ego)
+    sel = {"current": _select_current, "nosel": _select_none,
+           "fixed12": _select_fixed(12), "fixed22": _select_fixed(22),
+           }[variant]
+    kern = functools.partial(make_kernel(sel), n_samples=N, k=k,
+                             alpha=alpha, delta=delta, epsilon=epsilon,
+                             r_combined=r_combined)
+    grid = (b_pad // tile_b,)
+    out_g, out_h = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 2), jnp.float32),
+        ],
+    )(sx, sy, eg)
+    return out_h[:B], out_g[:B, 0]
+
+
+def timed(fn, k_iters=32, repeats=2):
+    float(fn(jnp.int32(0)))
+    t0 = min(_t(fn, jnp.int32(0)) for _ in range(repeats))
+    float(fn(jnp.int32(k_iters)))
+    tk = min(_t(fn, jnp.int32(k_iters)) for _ in range(repeats))
+    return max(tk - t0, 1e-12) / k_iters
+
+
+def _t(fn, a):
+    t0 = time.perf_counter()
+    float(fn(a))
+    return time.perf_counter() - t0
+
+
+def main(variants):
+    batch, N = 32768, 1000
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def make(key):
+        k1, k2 = jax.random.split(key)
+        s = (jnp.array([0.5, 0.0], jnp.float32)
+             + 0.1 * jax.random.normal(k1, (batch, N, 2), jnp.float32))
+        e = 0.1 * jax.random.normal(k2, (batch, 2), jnp.float32)
+        return s, e
+
+    samples, ego0 = make(key)
+    jax.block_until_ready(samples)
+
+    for spec in variants:
+        name, tile = (spec.split(":") + ["256"])[:2]
+        tile = int(tile)
+
+        @jax.jit
+        def loop(kk, name=name, tile=tile):
+            def body(i, carry):
+                e, acc = carry
+                h, g = fused(samples, e, variant=name, tile_b=tile)
+                return ego0 + 1e-6 * g[:, None], acc + jnp.sum(g)
+            _, acc = jax.lax.fori_loop(0, kk, body,
+                                       (ego0, jnp.float32(0.0)))
+            return acc
+
+        t = timed(loop)
+        print(f"{name}:tile{tile}  {t*1e3:8.3f} ms/iter  "
+              f"{batch/t/1e6:7.2f} M solves/s  "
+              f"{batch*N*8/t/1e9:6.1f} GB/s implied", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["current", "nosel", "fixed12", "current:512"])

@@ -160,15 +160,24 @@ def main(argv=None):
                         default="float32")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--save_dir", type=str, default="results")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of the "
+                             "run into this directory (TensorBoard/xprof)")
     args = parser.parse_args(argv)
 
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils import (
+        trace)
+
     os.makedirs(args.save_dir, exist_ok=True)
-    if args.mode == "single":
-        run_single(args)
-    elif args.mode == "timing_analysis":
-        run_timing(args)
-    elif args.mode == "monte_carlo":
-        run_monte_carlo(args)
+    with trace(args.profile_dir):
+        if args.mode == "single":
+            run_single(args)
+        elif args.mode == "timing_analysis":
+            run_timing(args)
+        elif args.mode == "monte_carlo":
+            run_monte_carlo(args)
+    if args.profile_dir:
+        print(f"Profiler trace written to {args.profile_dir}")
 
 
 if __name__ == "__main__":

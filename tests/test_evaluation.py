@@ -252,3 +252,24 @@ def test_timer_and_stats(capsys):
     s = stats.get_stats("x")
     assert s["mean"] == 2.0 and s["count"] == 2
     assert stats.get_stats("missing") is None
+
+
+def test_profiler_trace_hook(tmp_path):
+    """`utils.trace` captures a jax.profiler device trace (SURVEY §5
+    tracing row: the optional deep-profiling hook), and is a no-op when
+    no directory is given."""
+    import jax.numpy as jnp
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils import (
+        annotate, trace)
+
+    with trace(None):     # no-op path
+        pass
+
+    log_dir = str(tmp_path / "trace")
+    with trace(log_dir):
+        with annotate("unit-region"):
+            jnp.dot(jnp.ones((8, 8)), jnp.ones((8, 8))).block_until_ready()
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.suffix in (".pb", ".gz", ".json") or "trace" in p.name
+               for p in produced if p.is_file()), produced

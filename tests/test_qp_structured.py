@@ -95,3 +95,16 @@ def test_structured_float32():
                          data[7])
     np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol64.u),
                                atol=5e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_linsolve_inv_matches_chol(seed):
+    """The MXU-friendly explicit-inverse Newton path ("inv") must agree
+    with the triangular-solve path ("chol") to solver accuracy."""
+    data = _structured_instance(seed)
+    args = [jnp.asarray(x) for x in data[:6]] + [data[6], data[7]]
+    a = solve_mpc_qp(*args, linsolve="chol")
+    b = solve_mpc_qp(*args, linsolve="inv")
+    assert bool(a.converged) and bool(b.converged)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=3e-4)
+    assert float(a.obj) == pytest.approx(float(b.obj), abs=1e-5)
