@@ -1,0 +1,240 @@
+"""Pallas TPU kernels for BATCHED small dense linear algebra.
+
+The MPC safety filter's interior-point loop factorizes one ~60x60 SPD
+Schur matrix and back-substitutes two right-hand sides per iteration,
+per QP instance (ops/qp_ipm_structured.py).  Under `vmap`, XLA lowers
+batched `cho_factor`/`cho_solve` to column-sequential chains whose every
+step is a tiny masked update over the whole [B, n, n] tensor -- measured
+~52% of total MPC solve wall time on a v5e at batch 2048 (the reference
+has no counterpart: it solves each QP serially with OSQP,
+reference core/mpc_filter.py:151).
+
+These kernels put the BATCH on the 128-wide lane axis instead
+(matrices are stored [n, n, B]), so each of the n sequential factor
+steps is a dense vector op across 128 instances at full VPU width:
+
+  * `batched_cholesky`:  right-looking Cholesky, statically unrolled
+    over columns, trailing update restricted to the 8-aligned suffix
+    block (FLOPs shrink ~3x vs a full-matrix masked update);
+  * `batched_cho_solve`: column-oriented forward + backward
+    substitution (no per-step reductions -- each step is one masked
+    FMA over the [n, B_tile] right-hand-side block).
+
+Both pad n up to 64 (identity diagonal) and B up to the lane tile.
+Used by the structured IPM through `jax.custom_batching.custom_vmap`
+wrappers (`chol_factor_b` / `chol_solve_b`): per-instance code keeps
+calling plain scipy-style factor/solve, and only under `vmap` on a TPU
+does the batched Pallas path engage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_PAD = 64  # matrix padding (n <= 64 supported; MPC uses n in {60, 64})
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _chol_kernel(s_ref, l_ref, acc_ref, *, n: int):
+    """One batch tile: factor [64, 64, tb] SPD matrices (lane-batched).
+
+    Column j of L is final after step j; the trailing update touches
+    only the 8-aligned suffix block [j8:, j8:, :], j8 = 8*(j//8).
+    """
+    acc_ref[:] = s_ref[:]
+    l_ref[:] = jnp.zeros_like(l_ref[:])
+    for j in range(n):
+        j8 = (j // 8) * 8
+        m = N_PAD - j8                         # suffix block rows/cols
+        pivot = acc_ref[j, j:j + 1, :]         # [1, tb]
+        inv = 1.0 / jnp.sqrt(pivot)
+        colj = acc_ref[j8:, j, :]              # [m, tb]
+        # Rows above the diagonal inside the 8-row head are stale
+        # trailing data from earlier steps -- zero them.
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        colj = jnp.where(rloc + j8 >= j, colj, 0.0) * inv
+        l_ref[j8:, j, :] = colj
+        # Trailing update: A[r, c] -= L[r, j] L[c, j] for r, c > j.
+        f2 = jnp.where(rloc + j8 > j, colj, 0.0)
+        acc_ref[j8:, j8:, :] = (acc_ref[j8:, j8:, :]
+                                - colj[:, None, :] * f2[None, :, :])
+
+
+def _solve_kernel(l_ref, r_ref, x_ref, *, n: int, n_rhs: int):
+    """Lane-batched solve of L L' x = r for one tile.
+
+    r_ref/x_ref are [64, n_rhs, tb]; column-oriented substitution, one
+    masked FMA over the (8-aligned) affected RHS rows per step, no
+    reductions.  Mosaic has no scatter/dynamic_update_slice on values,
+    so the iterate lives in the OUTPUT ref and every write is a
+    static-slice ref store.
+    """
+    x_ref[:] = r_ref[:]                        # [64, n_rhs, tb]
+    # Forward: L y = r.
+    for j in range(n):
+        dj = l_ref[j, j:j + 1, :]              # [1, tb]
+        yj = x_ref[j, :, :] / dj               # [n_rhs, tb]
+        x_ref[j, :, :] = yj
+        j8 = ((j + 1) // 8) * 8                # aligned start <= j+1
+        m = N_PAD - j8
+        if m == 0:
+            continue
+        cj = l_ref[j8:, j, :]                  # [m, tb] column j tail
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
+        upd = cj[:, None, :] * yj[None, :, :]
+        cur = x_ref[j8:, :, :]
+        x_ref[j8:, :, :] = jnp.where(rloc + j8 > j, cur - upd, cur)
+    # Backward: L' x = y.  Row j of L is column j of L'.
+    for j in range(n - 1, -1, -1):
+        dj = l_ref[j, j:j + 1, :]
+        xj = x_ref[j, :, :] / dj
+        x_ref[j, :, :] = xj
+        j8e = ((j + 7) // 8) * 8               # aligned end >= j
+        if j8e == 0:
+            continue
+        rj = l_ref[j, :j8e, :]                 # [j8e, tb] row j head
+        rloc = jax.lax.broadcasted_iota(jnp.int32, (j8e, 1, 1), 0)
+        upd = rj[:, None, :] * xj[None, :, :]
+        cur = x_ref[:j8e, :, :]
+        x_ref[:j8e, :, :] = jnp.where(rloc < j, cur - upd, cur)
+
+
+def _pick_tile(B: int) -> int:
+    return min(128, _round_up(B, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_cholesky(S, interpret: bool = False):
+    """Lower-Cholesky factors of a batch of SPD matrices.
+
+    Args:
+      S: [B, n, n] float32, n <= 64, SPD per instance.
+    Returns:
+      L: [B, n, n] lower-triangular, S = L L'.
+    """
+    B, n, _ = S.shape
+    tb = _pick_tile(B)
+    b_pad = _round_up(B, tb)
+    # Batch-last storage; padding instances get the identity so the
+    # factorization stays finite everywhere.
+    St = jnp.zeros((N_PAD, N_PAD, b_pad), jnp.float32)
+    St = St.at[:, :, :].set(
+        jnp.eye(N_PAD, dtype=jnp.float32)[:, :, None])
+    St = St.at[:n, :n, :B].set(jnp.moveaxis(S.astype(jnp.float32), 0, -1))
+
+    kernel = functools.partial(_chol_kernel, n=n)
+    grid = (b_pad // tb,)
+    spec = pl.BlockSpec((N_PAD, N_PAD, tb), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    Lt = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((N_PAD, N_PAD, b_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N_PAD, N_PAD, tb), jnp.float32)],
+        interpret=interpret,
+    )(St)
+    return jnp.moveaxis(Lt, -1, 0)[:B, :n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def batched_cho_solve(L, r, interpret: bool = False):
+    """Solve L L' x = r for a batch of lower factors.
+
+    Args:
+      L: [B, n, n] lower-triangular; r: [B, n] or [B, n, k].
+    Returns:
+      x with r's shape.
+    """
+    squeeze = r.ndim == 2
+    if squeeze:
+        r = r[:, :, None]
+    B, n, k = r.shape
+    tb = _pick_tile(B)
+    b_pad = _round_up(B, tb)
+
+    Lt = jnp.zeros((N_PAD, N_PAD, b_pad), jnp.float32)
+    Lt = Lt.at[:, :, :].set(
+        jnp.eye(N_PAD, dtype=jnp.float32)[:, :, None])
+    Lt = Lt.at[:n, :n, :B].set(jnp.moveaxis(L.astype(jnp.float32), 0, -1))
+    rt = jnp.zeros((N_PAD, k, b_pad), jnp.float32)
+    rt = rt.at[:n, :, :B].set(jnp.moveaxis(r.astype(jnp.float32), 0, -1))
+
+    kernel = functools.partial(_solve_kernel, n=n, n_rhs=k)
+    grid = (b_pad // tb,)
+    mat_spec = pl.BlockSpec((N_PAD, N_PAD, tb), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    rhs_spec = pl.BlockSpec((N_PAD, k, tb), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+    xt = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[mat_spec, rhs_spec],
+        out_specs=rhs_spec,
+        out_shape=jax.ShapeDtypeStruct((N_PAD, k, b_pad), jnp.float32),
+        interpret=interpret,
+    )(Lt, rt)
+    x = jnp.moveaxis(xt, -1, 0)[:B, :n, :]
+    return x[:, :, 0] if squeeze else x
+
+
+# ---------------------------------------------------------------------
+# custom_vmap wrappers: per-instance semantics, batched Pallas lowering.
+# ---------------------------------------------------------------------
+
+def _use_pallas(dtype) -> bool:
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:  # no backend available
+        return False
+    return (platform not in ("cpu",) and dtype == jnp.float32
+            and not jax.config.jax_enable_x64)
+
+
+@jax.custom_batching.custom_vmap
+def chol_factor_b(S):
+    """Per-instance lower Cholesky; batched on TPU via Pallas."""
+    return jax.lax.linalg.cholesky(S)
+
+
+@chol_factor_b.def_vmap
+def _chol_factor_vmap(axis_size, in_batched, S):
+    (s_b,) = in_batched
+    assert s_b
+    flat = S.reshape((-1,) + S.shape[-2:])
+    if _use_pallas(S.dtype) and S.shape[-1] <= N_PAD:
+        L = batched_cholesky(flat)
+    else:
+        L = jax.lax.linalg.cholesky(flat)
+    return L.reshape(S.shape), True
+
+
+@jax.custom_batching.custom_vmap
+def chol_solve_b(L, r):
+    """Per-instance solve of L L' x = r; batched on TPU via Pallas."""
+    return jax.scipy.linalg.cho_solve((L, True), r)
+
+
+@chol_solve_b.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, L, r):
+    l_b, r_b = in_batched
+    if not l_b:
+        L = jnp.broadcast_to(L, (axis_size,) + L.shape)
+    if not r_b:
+        r = jnp.broadcast_to(r, (axis_size,) + r.shape)
+    lead = L.shape[:-2]
+    Lf = L.reshape((-1,) + L.shape[-2:])
+    rf = r.reshape((-1,) + r.shape[len(lead):])
+    if _use_pallas(L.dtype) and L.shape[-1] <= N_PAD:
+        x = batched_cho_solve(Lf, rf)
+    else:
+        x = jax.vmap(lambda a, b: jax.scipy.linalg.cho_solve((a, True), b))(
+            Lf, rf)
+    return x.reshape(r.shape), True

@@ -41,6 +41,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .pallas_linalg import chol_factor_b, chol_solve_b
+
 
 class MPCQPSolution(NamedTuple):
     u: jax.Array           # [n_u]
@@ -166,19 +168,19 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
     Eg = sel @ E                                           # [k_sel, n]
     eg = sel @ e
 
-    cholK = jax.scipy.linalg.cho_factor(K)
+    LK = chol_factor_b(K)
     # One stacked multi-RHS solve instead of separate KiEg / Kiq
     # triangular solves (the sequential depth of batched triangular
     # solves, not their FLOPs, is what costs on TPU).
-    KiEq = jax.scipy.linalg.cho_solve(
-        cholK, jnp.concatenate([Eg.T, q_t[:, None]], axis=1))
+    KiEq = chol_solve_b(
+        LK, jnp.concatenate([Eg.T, q_t[:, None]], axis=1))
     KiEg, Kiq = KiEq[:, :k_sel], KiEq[:, k_sel]
     Mg = (va[:, None] * (Eg @ KiEg) * va[None, :]
           + jnp.diag(1.0 - va)
           + reg * jnp.eye(k_sel, dtype=dtype))
     rhs = va * (-(Eg @ Kiq) - eg)
-    cholM = jax.scipy.linalg.cho_factor(Mg)
-    nug = va * jax.scipy.linalg.cho_solve(cholM, rhs)
+    LM = chol_factor_b(Mg)
+    nug = va * chol_solve_b(LM, rhs)
     # u = -K^-1 (q_t + Eg' nu) = -(Kiq + KiEg nu): reuses the solved
     # blocks, no further triangular solve.
     u_p = -(Kiq + KiEg @ nug)
@@ -192,8 +194,8 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
     for _ in range(2):
         r1 = K @ u_p + q_t + Eg.T @ nug
         r2 = va * (Eg @ u_p - eg)
-        t = jax.scipy.linalg.cho_solve(cholK, r1)
-        dnu = va * jax.scipy.linalg.cho_solve(cholM, r2 - va * (Eg @ t))
+        t = chol_solve_b(LK, r1)
+        dnu = va * chol_solve_b(LM, r2 - va * (Eg @ t))
         du = -(t + KiEg @ dnu)
         u_p = u_p + du
         nug = nug + dnu
@@ -294,9 +296,12 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
         m_ss = p_ss + d2 + d3
         d2_eff = d2 - d2 * d2 / m_ss
         S = (P_uu + (G_u.T * d1) @ G_u + (A.T * d2_eff) @ A + reg * eye)
-        chol = jax.scipy.linalg.cho_factor(S)
-        S_inv = jax.scipy.linalg.cho_solve(chol, eye) if linsolve == "inv" \
-            else None
+        # chol_factor_b / chol_solve_b: scipy semantics per instance; on
+        # TPU under vmap they dispatch to the lane-batched Pallas
+        # kernels (ops/pallas_linalg.py) -- the batched XLA
+        # Cholesky/triangular-solve chain was ~52% of MPC solve time.
+        Lchol = chol_factor_b(S)
+        S_inv = chol_solve_b(Lchol, eye) if linsolve == "inv" else None
 
         def newton(rc1, rc2, rc3):
             t_s = (-r_ds + d2 * r_p2 - rc2 / w2 + d3 * r_p3 - rc3 / w3)
@@ -304,7 +309,7 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
                    - A.T @ (d2 * r_p2 - rc2 / w2)
                    + A.T @ (d2 * t_s / m_ss))
             du = (S_inv @ rhs if linsolve == "inv"
-                  else jax.scipy.linalg.cho_solve(chol, rhs))
+                  else chol_solve_b(Lchol, rhs))
             ds = (t_s + d2 * (A @ du)) / m_ss
             dl1 = d1 * (G_u @ du + r_p1) - rc1 / w1
             dl2 = d2 * (A @ du - ds + r_p2) - rc2 / w2
