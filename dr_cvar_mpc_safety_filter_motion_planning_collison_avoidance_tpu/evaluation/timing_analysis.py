@@ -167,12 +167,32 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
 
 def plot_timing_results(timing_data, sample_sizes, save_dir=None):
     """3-panel boxplots, filtered + unfiltered variants, same outlier
-    thresholds and file names as reference timing_analysis.py:134-225."""
+    thresholds and file names as reference timing_analysis.py:134-225.
+
+    Also writes `timing_data.txt` -- the per-size outlier-removal
+    provenance lines the reference publishes alongside the plots
+    (reference results/Timing_Analysis/timing_data.txt, printed at
+    reference timing_analysis.py:177-179)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     setup_threshold, solve_threshold, call_threshold = 2, 100, 400  # ms
+
+    if save_dir:
+        lines = []
+        for n in sample_sizes:
+            lines.append(f"Sample size {n}:")
+            for key, thr, label in (
+                    ("setup_times", setup_threshold, "Setup Time"),
+                    ("solve_times", solve_threshold, "Solve Time"),
+                    ("call_times", call_threshold, "Call Time")):
+                arr = np.asarray(timing_data[key][n])
+                removed = int((arr >= thr).sum())
+                lines.append(f"  {label}: Removed {removed}/{len(arr)} "
+                             f"outliers > {thr}ms")
+        with open(os.path.join(save_dir, "timing_data.txt"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
 
     def panel(ax, key, threshold, title):
         data = []

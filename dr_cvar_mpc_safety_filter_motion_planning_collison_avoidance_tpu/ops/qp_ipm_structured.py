@@ -41,6 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .pallas_linalg import N_PAD as _LINALG_N_PAD
 from .pallas_linalg import chol_factor_b, chol_solve_b
 
 
@@ -152,7 +153,11 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
     act = jnp.concatenate([a1, m_eq])                      # bool [m_rows]
     l_all = jnp.concatenate([l1, l2])
     m_rows = E.shape[0]
-    k_sel = min(n + 4, m_rows)
+    # Cap at N_PAD (64) so the Schur system stays on the lane-batched
+    # Pallas Cholesky path for n = 64 problems too (at a nondegenerate
+    # optimum at most n rows are active, so >= n selections suffice;
+    # the merit gate still rejects a degenerate over-truncation).
+    k_sel = min(n + 4, m_rows, _LINALG_N_PAD)
 
     # Gather the active rows (highest multipliers first; inactive rows
     # that pad out the selection get va=0 and decouple as identity

@@ -96,24 +96,31 @@ import contextlib
 
 @contextlib.contextmanager
 def fake_diag_linalg():
-    """Ablation: monkeypatch cho_factor/cho_solve with a diagonal solve
-    (WRONG math, timing attribution only) so the variant measures
-    everything in the IPM except the real factorization/solves."""
-    import jax.scipy.linalg as jsl
-    real_f, real_s = jsl.cho_factor, jsl.cho_solve
+    """Ablation: monkeypatch the IPM's OWN factor/solve entry points
+    (qp_ipm_structured.chol_factor_b / chol_solve_b — the real path on
+    every backend, including the Pallas lane-batched one on TPU) with a
+    diagonal solve (WRONG math, timing attribution only) so the variant
+    measures everything in the IPM except the factorization/solves.
+    Patching jax.scipy.linalg here would be a no-op: the structured IPM
+    no longer calls it (ADVICE r3)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
+        qp_ipm_structured as qps)
+    real_f, real_s = qps.chol_factor_b, qps.chol_solve_b
 
-    def fake_factor(S, **kw):
-        return (S, False)
+    def fake_factor(S):
+        return S
 
-    def fake_solve(c, r, **kw):
-        d = jnp.diagonal(c[0])
-        return (r.T / d).T if r.ndim == 2 else r / d
+    def fake_solve(L, r):
+        d = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return r / (d[..., None] if r.ndim == L.ndim else d)
 
-    jsl.cho_factor, jsl.cho_solve = fake_factor, fake_solve
+    qps.chol_factor_b, qps.chol_solve_b = fake_factor, fake_solve
+    jax.clear_caches()  # drop any jaxpr traced against the real path
     try:
         yield
     finally:
-        jsl.cho_factor, jsl.cho_solve = real_f, real_s
+        qps.chol_factor_b, qps.chol_solve_b = real_f, real_s
+        jax.clear_caches()
 
 
 def bench_variant(prob, data, batch, linsolve, max_iters=35, k_iters=8,
