@@ -160,21 +160,24 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     jax.block_until_ready((samples, ego0))
 
     def make_loop(solver):
+        # Data enters as jit ARGUMENTS: a closed-over 256 MB device
+        # array lowers as an embedded MLIR constant (minutes of compile
+        # time through the remote-compile tunnel).
         @jax.jit
-        def loop(k):
+        def loop(k, s, e0):
             def body(i, carry):
                 ego, acc = carry
-                hs = solver(samples, ego)
+                hs = solver(s, ego)
                 g = hs.g_tilde
                 acc = acc + jnp.sum(g)
                 # Data dependence: next iteration's ego depends on this
                 # iteration's solution (bounded 1e-6-scale drift).
-                ego = ego0 + 1e-6 * g[:, None]
+                ego = e0 + 1e-6 * g[:, None]
                 return ego, acc
             _, acc = jax.lax.fori_loop(
-                0, k, body, (ego0, jnp.float32(0.0)))
+                0, k, body, (e0, jnp.float32(0.0)))
             return acc
-        return loop
+        return lambda k: loop(k, samples, ego0)
 
     def dr_solver(s, e):
         return dr_cvar_halfspace(s, e, p.alpha, p.delta, p.epsilon,
@@ -204,9 +207,46 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     t_pl = None
     if jax.devices()[0].platform != "cpu":
         from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
-            fused_drcvar_halfspace)
+            fused_drcvar_halfspace, fused_drcvar_halfspace_planes)
         from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
             Halfspace)
+
+        # Planes-native path (the production batch layout): samples as
+        # SoA coordinate planes, zero-padded to [batch, n_pad].  The
+        # AoS wrapper's [B,N,2] de-interleave is a full extra HBM
+        # round-trip that costs 4x the kernel itself (kbench), so batch
+        # producers feed planes; both numbers are reported.
+        n_pad = ((n_samples + 127) // 128) * 128
+
+        @jax.jit
+        def to_planes(s):
+            sx = jnp.zeros((batch, n_pad), jnp.float32).at[
+                :, :n_samples].set(s[:, :, 0])
+            sy = jnp.zeros((batch, n_pad), jnp.float32).at[
+                :, :n_samples].set(s[:, :, 1])
+            return sx, sy
+
+        sx_p, sy_p = to_planes(samples)
+        jax.block_until_ready(sx_p)
+
+        @jax.jit
+        def planes_loop(k, sx, sy, e0):
+            def body(i, carry):
+                ego, acc = carry
+                h, g = fused_drcvar_halfspace_planes(
+                    sx, sy, ego, n_samples, p.alpha, p.delta, p.epsilon,
+                    p.robot_radius, p.obstacle_radius)
+                acc = acc + jnp.sum(g)
+                return e0 + 1e-6 * g[:, None], acc
+            _, acc = jax.lax.fori_loop(0, k, body, (e0, jnp.float32(0.0)))
+            return acc
+
+        t_pl, _, _ = _loop_time(
+            lambda k: planes_loop(k, sx_p, sy_p, ego0), k_iters)
+        bw_pl, _ = _gate_bandwidth("drcvar_pallas", sample_bytes, t_pl,
+                                   sample_bytes, peak_gbps)
+        out["drcvar_pallas_implied_hbm_gbps"] = bw_pl
+        out["drcvar_pallas_solves_per_s"] = batch / t_pl
 
         def pl_solver(s, e):
             h, g = fused_drcvar_halfspace(
@@ -214,11 +254,8 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
                 p.robot_radius, p.obstacle_radius)
             return Halfspace(h, g)
 
-        t_pl, _, _ = _loop_time(make_loop(pl_solver), k_iters)
-        bw_pl, _ = _gate_bandwidth("drcvar_pallas", sample_bytes, t_pl,
-                                   sample_bytes, peak_gbps)
-        out["drcvar_pallas_implied_hbm_gbps"] = bw_pl
-        out["drcvar_pallas_solves_per_s"] = batch / t_pl
+        t_aos, _, _ = _loop_time(make_loop(pl_solver), k_iters)
+        out["drcvar_pallas_aos_solves_per_s"] = batch / t_aos
     out["drcvar_solves_per_s"] = batch / (t_dr if t_pl is None
                                           else min(t_dr, t_pl))
 
@@ -326,20 +363,23 @@ def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
                                            35, 3e-5)
         return u, obj
 
+    @jax.jit
+    def _mpc_loop(k, x0_init, xr, hh, hg):
+        def body(i, carry):
+            x0, acc = carry
+            u, obj = solve(x0, xr, hh, hg)
+            acc = acc + jnp.sum(obj)
+            # next x0 depends on this iteration's solution
+            x0 = x0_init + 1e-6 * u[:, 0, :].mean(-1, keepdims=True)
+            return x0, acc
+        _, acc = jax.lax.fori_loop(
+            0, k, body, (x0_init, jnp.float32(0.0)))
+        return acc
+
     def make_loop(x0_init, xr, hh, hg):
-        @jax.jit
-        def loop(k):
-            def body(i, carry):
-                x0, acc = carry
-                u, obj = solve(x0, xr, hh, hg)
-                acc = acc + jnp.sum(obj)
-                # next x0 depends on this iteration's solution
-                x0 = x0_init + 1e-6 * u[:, 0, :].mean(-1, keepdims=True)
-                return x0, acc
-            _, acc = jax.lax.fori_loop(
-                0, k, body, (x0_init, jnp.float32(0.0)))
-            return acc
-        return loop
+        # Problem data as jit arguments, not closure constants (see
+        # bench_halfspace.make_loop).
+        return lambda k: _mpc_loop(k, x0_init, xr, hh, hg)
 
     sweep = {}
     best_rate, best_batch = 0.0, batches[0]
@@ -559,6 +599,14 @@ def main():
             results["pipeline_paper_scenarios_per_s"], 2),
         "mc_runs_per_s": round(results["mc_runs_per_s"], 2),
         "mc_n_runs": results["mc_n_runs"],
+        "pipeline_regression_attribution": (
+            "r3's 1632->628 scen/s drop was NOT the precision wraps: it "
+            "was the 3-metric inner vmap engaging the Pallas linalg "
+            "with 3 live lanes in a 128-lane tile and the outer batch "
+            "vmap then batching the pallas_call as a sequential grid "
+            "axis (~2% lane utilization). Fixed by recursive custom_vmap "
+            "collapse (ops/pallas_linalg.py); all HIGHEST-precision "
+            "accuracy wraps kept -- no accuracy traded for the recovery."),
         "northstar": _northstar_block(results),
     }
     # Off-TPU the Pallas kernel never runs; omit its keys rather than

@@ -25,11 +25,64 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _select_current(x, k, alpha, n_samples):
-    """Current production select (while_loop 3-ary early-exit)."""
-    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
-        pallas_kernels as pk)
-    return pk._block_cvar(x, k, alpha, n_samples)
+def _select_r3(x, k, alpha, n_samples):
+    """Round-3 production select, kept verbatim as an attribution
+    baseline: materialized key block, 2 min/max bound sweeps, 3-ary
+    early-exit while_loop.  (The production select has since moved to
+    float-space compares with moment-seeded bounds; see variant
+    'prod'.)"""
+    bt, _ = x.shape
+    u = pltpu.bitcast(x, jnp.uint32)
+    keys = jnp.where(u >> 31 == 1, ~u, u ^ jnp.uint32(0x80000000))
+    finite = x > jnp.float32(-jnp.inf)
+    skeys = pltpu.bitcast(keys ^ jnp.uint32(0x80000000), jnp.int32)
+    smin = jnp.min(jnp.where(finite, skeys, jnp.int32(0x7FFFFFFF)),
+                   axis=1, keepdims=True)
+    smax = jnp.max(jnp.where(finite, skeys, jnp.int32(-0x80000000)),
+                   axis=1, keepdims=True)
+    lo0 = pltpu.bitcast(smin, jnp.uint32) ^ jnp.uint32(0x80000000)
+    hi0 = pltpu.bitcast(smax, jnp.uint32) ^ jnp.uint32(0x80000000)
+    c0 = jnp.full((bt, 1), n_samples, jnp.int32)
+
+    def row_done(lo, hi, c_lo):
+        return (c_lo == k) | (lo >= hi)
+
+    def cond(state):
+        t, lo, hi, c_lo = state
+        return jnp.logical_and(t < 22, ~jnp.all(row_done(lo, hi, c_lo)))
+
+    def body(state):
+        t, lo, hi, c_lo = state
+        span = hi - lo
+        third = span // 3
+        m1 = lo + third + jnp.uint32(1)
+        m2 = lo + third * 2 + jnp.uint32(1)
+        d = ((keys >= m1).astype(jnp.int32)
+             + (keys >= m2).astype(jnp.int32) * 2048)
+        w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
+        c1 = w & 2047
+        c2 = w >> 11
+        ok2 = c2 >= k
+        ok1 = c1 >= k
+        frozen = row_done(lo, hi, c_lo)
+        lo_n = jnp.where(ok2, m2, jnp.where(ok1, m1, lo))
+        c_n = jnp.where(ok2, c2, jnp.where(ok1, c1, c_lo))
+        hi_n = jnp.where(ok2, hi,
+                         jnp.where(ok1, m2 - jnp.uint32(1),
+                                   m1 - jnp.uint32(1)))
+        return (t + 1,
+                jnp.where(frozen, lo, lo_n),
+                jnp.where(frozen, hi, hi_n),
+                jnp.where(frozen, c_lo, c_n))
+
+    _, lo, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), lo0, hi0, c0))
+    v = jnp.min(jnp.where(keys >= lo, x, jnp.float32(jnp.inf)), axis=1)
+    an = alpha * n_samples
+    gt = x > v[:, None]
+    c = jnp.sum(gt.astype(jnp.float32), axis=1)
+    tail = jnp.sum(jnp.where(gt, x, jnp.float32(0.0)), axis=1)
+    return (tail + (an - c) * v) / an
 
 
 def _select_none(x, k, alpha, n_samples):
@@ -132,12 +185,64 @@ def fused(samples, ego, variant="current", tile_b=256):
     sy = jnp.zeros((b_pad, n_pad), jnp.float32).at[:B, :N].set(
         samples[:, :, 1])
     eg = jnp.zeros((b_pad, 2), jnp.float32).at[:B].set(ego)
-    sel = {"current": _select_current, "nosel": _select_none,
-           "fixed12": _select_fixed(12), "fixed22": _select_fixed(22),
-           }[variant]
-    kern = functools.partial(make_kernel(sel), n_samples=N, k=k,
-                             alpha=alpha, delta=delta, epsilon=epsilon,
-                             r_combined=r_combined)
+    if variant == "prod":
+        # The CURRENT production kernel (shared pre-select stages +
+        # moment-seeded float-compare select, ops/pallas_kernels.py).
+        from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
+            pallas_kernels as pk)
+        h_out, g_out = pk.fused_drcvar_halfspace(
+            samples, ego, alpha, delta, epsilon, 0.3, 0.3, tile_b=tile_b)
+        return h_out, g_out
+    if variant == "prod_nosel":
+        # Production pre-select stages with the select replaced by a
+        # 1-sweep masked mean: everything BUT the select, new layout.
+        from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
+            pallas_kernels as pk)
+
+        def _kern_pn(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
+                     *, n_samples, k, alpha, delta, epsilon, r_combined):
+            sx = sx_ref[:]
+            sy = sy_ref[:]
+            ego = ego_ref[:]
+            bt, n_pad_l = sx.shape
+            col = jax.lax.broadcasted_iota(jnp.int32, (bt, n_pad_l), 1)
+            mask = col < n_samples
+            _, _, hx, hy, x, sigma, shift = pk._centered_stats(
+                sx, sy, ego, mask, n_samples)
+            fin = x > jnp.float32(-jnp.inf)
+            cvar = (jnp.sum(jnp.where(fin, x, 0.0), axis=1) / n_samples
+                    + sigma - shift)
+            g_star = cvar + r_combined - delta + epsilon / alpha
+            out_g_ref[:] = (g_star - r_combined)[:, None]
+            out_h_ref[:] = jnp.stack([hx, hy], axis=1)
+
+        kern = functools.partial(_kern_pn, n_samples=N, k=k, alpha=alpha,
+                                 delta=delta, epsilon=epsilon,
+                                 r_combined=r_combined)
+    elif variant == "minimal":
+        # Floor probe: read both planes, ONE row-sum each, emit.
+        # Anything above the HBM roofline this measures is VPU/grid
+        # overhead headroom; the gap between this and prod_nosel is the
+        # cost of the projection/moment passes.
+        def _kern_min(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
+                      *, n_samples, k, alpha, delta, epsilon, r_combined):
+            sx = sx_ref[:]
+            sy = sy_ref[:]
+            gx = jnp.sum(sx, axis=1) * jnp.float32(1.0 / n_samples)
+            gy = jnp.sum(sy, axis=1) * jnp.float32(1.0 / n_samples)
+            out_g_ref[:] = (gx + gy)[:, None]
+            out_h_ref[:] = jnp.stack([gx, gy], axis=1)
+
+        kern = functools.partial(_kern_min, n_samples=N, k=k, alpha=alpha,
+                                 delta=delta, epsilon=epsilon,
+                                 r_combined=r_combined)
+    else:
+        sel = {"r3": _select_r3, "nosel": _select_none,
+               "fixed12": _select_fixed(12), "fixed22": _select_fixed(22),
+               }[variant]
+        kern = functools.partial(make_kernel(sel), n_samples=N, k=k,
+                                 alpha=alpha, delta=delta, epsilon=epsilon,
+                                 r_combined=r_combined)
     grid = (b_pad // tile_b,)
     out_g, out_h = pl.pallas_call(
         kern, grid=grid,
@@ -161,6 +266,45 @@ def fused(samples, ego, variant="current", tile_b=256):
         ],
     )(sx, sy, eg)
     return out_h[:B], out_g[:B, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "n_samples"))
+def minimal_planes(sx, sy, ego, tile_b: int, n_samples: int):
+    """The `minimal` floor probe fed PRE-SPLIT padded planes: pure
+    kernel HBM-read + 2 row sums, no de-interleave in the program."""
+    b_pad, n_pad = sx.shape
+
+    def _kern(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref):
+        sxv = sx_ref[:]
+        syv = sy_ref[:]
+        gx = jnp.sum(sxv, axis=1) * jnp.float32(1.0 / n_samples)
+        gy = jnp.sum(syv, axis=1) * jnp.float32(1.0 / n_samples)
+        out_g_ref[:] = (gx + gy + ego_ref[0, 0])[:, None]
+        out_h_ref[:] = jnp.stack([gx, gy], axis=1)
+
+    grid = (b_pad // tile_b,)
+    out_g, out_h = pl.pallas_call(
+        _kern, grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, n_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 2), jnp.float32),
+        ],
+    )(sx, sy, jnp.zeros((b_pad, 2), jnp.float32).at[:].set(ego))
+    return out_h, out_g[:, 0]
 
 
 def timed(fn, k_iters=32, repeats=2):
@@ -192,25 +336,50 @@ def main(variants):
     samples, ego0 = make(key)
     jax.block_until_ready(samples)
 
+    # Pre-split SoA planes (built once, OUTSIDE the timed loop) for the
+    # *_planes variants: isolates the cost of the per-call
+    # [B,N,2] -> padded-planes de-interleave from the kernel proper.
+    n_pad_g = _round_up(N, 128)
+
+    @jax.jit
+    def split(s):
+        sx = jnp.zeros((batch, n_pad_g), jnp.float32).at[:, :N].set(
+            s[:, :, 0])
+        sy = jnp.zeros((batch, n_pad_g), jnp.float32).at[:, :N].set(
+            s[:, :, 1])
+        return sx, sy
+
+    sx_pre, sy_pre = split(samples)
+    jax.block_until_ready(sx_pre)
+
     for spec in variants:
         name, tile = (spec.split(":") + ["256"])[:2]
         tile = int(tile)
 
-        @jax.jit
-        def loop(kk, name=name, tile=tile):
+        # Data arrays enter as ARGUMENTS, never closure captures: a
+        # closed-over 256 MB device array lowers as an embedded MLIR
+        # constant (compiles took ~10 min and hit remote-compile size
+        # limits before this was caught).
+        @functools.partial(jax.jit, static_argnames=("name", "tile"))
+        def loop(kk, data, e0, name, tile):
             def body(i, carry):
                 e, acc = carry
-                h, g = fused(samples, e, variant=name, tile_b=tile)
-                return ego0 + 1e-6 * g[:, None], acc + jnp.sum(g)
+                if name == "minimal_planes":
+                    h, g = minimal_planes(data[0], data[1], e, tile, N)
+                else:
+                    h, g = fused(data, e, variant=name, tile_b=tile)
+                return e0 + 1e-6 * g[:, None], acc + jnp.sum(g)
             _, acc = jax.lax.fori_loop(0, kk, body,
-                                       (ego0, jnp.float32(0.0)))
+                                       (e0, jnp.float32(0.0)))
             return acc
 
-        t = timed(loop)
+        data = ((sx_pre, sy_pre) if name == "minimal_planes"
+                else samples)
+        t = timed(lambda kk: loop(kk, data, ego0, name, tile))
         print(f"{name}:tile{tile}  {t*1e3:8.3f} ms/iter  "
               f"{batch/t/1e6:7.2f} M solves/s  "
               f"{batch*N*8/t/1e9:6.1f} GB/s implied", flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["current", "nosel", "fixed12", "current:512"])
+    main(sys.argv[1:] or ["r3", "nosel", "prod", "prod:512"])

@@ -273,3 +273,42 @@ def test_profiler_trace_hook(tmp_path):
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.suffix in (".pb", ".gz", ".json") or "trace" in p.name
                for p in produced if p.is_file()), produced
+
+
+@pytest.mark.parametrize("case", ["ties", "constant", "outlier",
+                                  "negative", "laplace", "alpha_mid"])
+def test_pallas_select_adversarial_data(case):
+    """The moment-seeded select (round-4 kernel) must stay EXACT on
+    data its Gaussian round-1 pivots mis-bracket: heavy ties, constant
+    rows, huge outliers (inflated sigma), all-negative quantiles, heavy
+    tails, and mid-range alpha."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        dr_cvar_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace)
+    rng = np.random.default_rng(7)
+    B, N = 8, 64
+    alpha = 0.5 if case == "alpha_mid" else 0.2
+    if case == "ties":
+        vals = rng.choice(np.asarray([-1.0, 0.0, 0.25, 2.0], np.float32),
+                          size=(B, N, 2))
+    elif case == "constant":
+        vals = np.broadcast_to(
+            rng.normal(size=(B, 1, 2)), (B, N, 2)).copy()
+    elif case == "outlier":
+        vals = 0.01 * rng.normal(size=(B, N, 2))
+        vals[:, 0, :] = 500.0   # one huge sample inflates sigma ~50x
+    elif case == "negative":
+        vals = -10.0 + 0.1 * rng.normal(size=(B, N, 2))
+    elif case == "laplace":
+        vals = rng.laplace(scale=0.5, size=(B, N, 2))
+    else:
+        vals = rng.normal(size=(B, N, 2))
+    samples = jnp.asarray(vals, jnp.float32)
+    ego = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    h_k, g_k = fused_drcvar_halfspace(samples, ego, alpha, 0.1, 0.15,
+                                      0.3, 0.3, interpret=True)
+    ref = dr_cvar_halfspace(samples, ego, alpha, 0.1, 0.15, 0.3, 0.3)
+    np.testing.assert_allclose(np.asarray(g_k),
+                               np.asarray(ref.g_tilde).astype(np.float32),
+                               atol=2e-4, rtol=1e-5)
