@@ -152,6 +152,20 @@ def run_scenario_with_obstacles(statics: PipelineStatics,
     # MPC solve over it (reference main.py:108-118 loops instead).
     hs_h = jnp.stack([halfspaces.by_metric(m).h for m in METRICS])
     hs_g = jnp.stack([halfspaces.by_metric(m).g_tilde for m in METRICS])
+    # Per-scenario sim_time shorter than the MPC horizon (paper
+    # presets): later timesteps have no obstacle data, hence no safety
+    # constraint -- the reference simply skips those soft-constraint
+    # rows (core/mpc_filter.py:119).  The static-shape equivalent is
+    # padding with INACTIVE halfspaces (unit normal, g~ = -1e4: an
+    # obstacle ~10 km away; slack stays 0, rows never bind).
+    n_hs = hs_h.shape[1]
+    if n_hs < H:
+        pad = H - n_hs
+        n_obs = hs_h.shape[2]
+        pad_h = jnp.zeros((3, pad, n_obs, 2), dtype).at[..., 0].set(1.0)
+        pad_g = jnp.full((3, pad, n_obs), -1e4, dtype)
+        hs_h = jnp.concatenate([hs_h, pad_h], axis=1)
+        hs_g = jnp.concatenate([hs_g, pad_g], axis=1)
 
     u_min, u_max = [jnp.asarray(b, dtype) for b in INPUT_BOUNDS]
     # Reference main.py:112 passes state_bounds[:2] == the whole (min4,

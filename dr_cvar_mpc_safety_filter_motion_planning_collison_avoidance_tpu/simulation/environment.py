@@ -113,7 +113,14 @@ def compute_safe_halfspaces_for_trajectory(env: Environment,
     """
     if use_pallas is None:
         use_pallas = _use_pallas_auto(env)
-    n_steps = min(x_ref.shape[0], env.horizon)
+    # Clamp to the obstacle data's length too: with a per-scenario
+    # sim_time shorter than horizon*dt (paper presets, 3-5 s vs 6 s)
+    # there are simply no obstacle samples beyond the simulation end --
+    # the reference builds soft MPC constraints only for timesteps that
+    # have halfspaces (reference core/mpc_filter.py:119
+    # `if t-1 < len(safe_halfspaces)`); models/pipeline.py pads the
+    # missing rows as inactive constraints.
+    n_steps = min(x_ref.shape[0], env.horizon, obstacle_samples.shape[2])
     n_obs, n_samples = obstacle_samples.shape[0], obstacle_samples.shape[1]
     # [n_obs, N, n_steps, 2] -> [n_steps, n_obs, N, 2]
     samples_t = jnp.transpose(obstacle_samples[:, :, :n_steps, :],

@@ -115,3 +115,24 @@ def test_distance_matches_manual(head_on_result):
             expected[t] = min(expected[t], d)
     np.testing.assert_allclose(
         np.asarray(head_on_result.distances[2])[:T], expected, atol=1e-9)
+
+
+def test_paper_preset_short_sim_time_runs():
+    """Per-scenario sim_time < horizon*dt (paper presets): halfspaces
+    exist only for the simulated steps; the MPC pads the remaining
+    horizon with inactive constraints (reference core/mpc_filter.py:119
+    skips those rows).  Regression: this crashed with a reshape error
+    before round 4."""
+    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu as dct
+
+    params = dct.config.get_parameters("paper")
+    sc = dct.config.get_scenario_config("head_on", "paper")
+    assert sc.sim_time == 3.0  # shorter than horizon*dt = 6 s
+    res = dct.models.run_single_scenario(sc, params, seed=42,
+                                         dtype=jnp.float32)
+    n_hs = int(sc.sim_time / params.dt) + 1
+    assert res.halfspaces.mean.h.shape[0] == n_hs
+    assert bool(res.qp_converged.all())
+    # Padded rows must not bind: slack beyond the simulated steps is 0.
+    assert float(jnp.abs(res.slack[:, n_hs:, :]).max()) == 0.0
+    assert np.isfinite(np.asarray(res.distances)).all()
