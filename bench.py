@@ -616,6 +616,12 @@ def main():
             results["drcvar_pallas_solves_per_s"], 2)
         out["drcvar_pallas_implied_hbm_gbps"] = round(
             results["drcvar_pallas_implied_hbm_gbps"], 1)
+        out["drcvar_pallas_aos_solves_per_s"] = round(
+            results["drcvar_pallas_aos_solves_per_s"], 2)
+        out["drcvar_pallas_layout_note"] = (
+            "headline = planes-native SoA input (production batch "
+            "layout); *_aos_* = [B,N,2] wrapper incl. the de-interleave "
+            "HBM round-trip")
     print(json.dumps(out))
 
 
