@@ -222,6 +222,16 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
         w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
         return w & 2047, w >> 11
 
+    def count3(f1, f2, f3):
+        """Packed TRIPLE-pivot count pass (still one block reduction):
+        3 counts in 10-bit fields -- valid only when every count fits,
+        i.e. n_samples < 1024 (padding never enters a count)."""
+        d = ((x >= f1).astype(jnp.int32)
+             + (x >= f2).astype(jnp.int32) * 1024
+             + (x >= f3).astype(jnp.int32) * 1048576)
+        w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
+        return w & 1023, (w >> 10) & 1023, w >> 20
+
     def update(lo, hi, c_lo, m1, m2, c1, c2, frozen):
         ok2 = c2 >= k
         ok1 = c1 >= k
@@ -230,6 +240,22 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
         hi_n = jnp.where(ok2, hi,
                          jnp.where(ok1, m2 - jnp.uint32(1),
                                    m1 - jnp.uint32(1)))
+        return (jnp.where(frozen, lo, lo_n),
+                jnp.where(frozen, hi, hi_n),
+                jnp.where(frozen, c_lo, c_n))
+
+    def update3(lo, hi, c_lo, m1, m2, m3, c1, c2, c3, frozen):
+        ok3 = c3 >= k
+        ok2 = c2 >= k
+        ok1 = c1 >= k
+        lo_n = jnp.where(ok3, m3,
+                         jnp.where(ok2, m2, jnp.where(ok1, m1, lo)))
+        c_n = jnp.where(ok3, c3,
+                        jnp.where(ok2, c2, jnp.where(ok1, c1, c_lo)))
+        one = jnp.uint32(1)
+        hi_n = jnp.where(ok3, hi,
+                         jnp.where(ok2, m3 - one,
+                                   jnp.where(ok1, m2 - one, m1 - one)))
         return (jnp.where(frozen, lo, lo_n),
                 jnp.where(frozen, hi, hi_n),
                 jnp.where(frozen, c_lo, c_n))
@@ -250,36 +276,58 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
 
     def cond(state):
         t, lo, hi, c_lo = state
-        # 3^22 > 2^32: 22 passes always resolve the interval.
+        # 3^22 > 2^32: 22 passes always resolve the interval (4-ary
+        # needs even fewer).
         return jnp.logical_and(t < 22, ~jnp.all(row_done(lo, hi, c_lo)))
 
     def body(state):
         t, lo, hi, c_lo = state
         span = hi - lo
-        third = span // 3
-        # No kmin clamp needed here: lo >= lo0 >= kmin always, so
-        # m1 > lo >= kmin (pivots stay in decodable key range).
-        m1 = lo + third + jnp.uint32(1)
-        # third*2, not (span*2)//3: span can exceed 2^31 (keys of mixed-
-        # sign data straddle 0x80000000), so span*2 would wrap uint32.
-        m2 = lo + third * 2 + jnp.uint32(1)
-        c1, c2 = count2(_row_float(m1), _row_float(m2))
-        lo_n, hi_n, c_n = update(lo, hi, c_lo, m1, m2, c1, c2,
-                                 row_done(lo, hi, c_lo))
+        frozen = row_done(lo, hi, c_lo)
+        one = jnp.uint32(1)
+        if n_samples < 1024:
+            # 4-ary: three packed pivot counts per pass (10-bit fields).
+            q = span // 4
+            # q*j, not (span*j)//4: span can exceed 2^31 (keys of
+            # mixed-sign data straddle 0x80000000) and would wrap.
+            m1 = lo + q + one
+            m2 = lo + q * 2 + one
+            m3 = lo + q * 3 + one
+            c1, c2, c3 = count3(_row_float(m1), _row_float(m2),
+                                _row_float(m3))
+            lo_n, hi_n, c_n = update3(lo, hi, c_lo, m1, m2, m3,
+                                      c1, c2, c3, frozen)
+        else:
+            # 3-ary with 11-bit dual packing (counts up to n_pad-1).
+            third = span // 3
+            # No kmin clamp needed: lo >= lo0 >= kmin always, so
+            # m1 > lo >= kmin (pivots stay in decodable key range).
+            m1 = lo + third + one
+            m2 = lo + third * 2 + one
+            c1, c2 = count2(_row_float(m1), _row_float(m2))
+            lo_n, hi_n, c_n = update(lo, hi, c_lo, m1, m2, c1, c2,
+                                     frozen)
         return t + 1, lo_n, hi_n, c_n
 
     _, lo, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(1), lo1, hi1, cc1))
 
-    # Exact k-th largest: min over elements at or above the decoded lo.
+    # Finisher in ONE pass over x.  With G = {x : x >= f_lo} (exactly
+    # the >=-k-th elements in both exit states), v = min G is the exact
+    # k-th largest, and the tie-safe tail mean
+    #   CVaR = (sum_{x>v} x + (an - #{x>v}) v)/an
+    # rewrites in G-quantities only: substituting sum_G = sum_{x>v}
+    # + eq*v and |G| = #{x>v} + eq, the tie count eq CANCELS:
+    #   CVaR = (sum_G + (an - |G|) v)/an.
+    # So the strict-comparison second pass of the round-3 kernel is
+    # unnecessary -- min, count and sum all come from one read.
     f_lo = _row_float(lo)
-    v = jnp.min(jnp.where(x >= f_lo, x, jnp.float32(jnp.inf)), axis=1)
-
+    ge = x >= f_lo
+    v = jnp.min(jnp.where(ge, x, jnp.float32(jnp.inf)), axis=1)
+    c = jnp.sum(ge.astype(jnp.float32), axis=1)
+    s = jnp.sum(jnp.where(ge, x, jnp.float32(0.0)), axis=1)
     an = alpha * n_samples
-    gt = x > v[:, None]
-    c = jnp.sum(gt.astype(jnp.float32), axis=1)
-    tail = jnp.sum(jnp.where(gt, x, jnp.float32(0.0)), axis=1)
-    return (tail + (an - c) * v) / an
+    return (s + (an - c) * v) / an
 
 
 def _drcvar_kernel(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,

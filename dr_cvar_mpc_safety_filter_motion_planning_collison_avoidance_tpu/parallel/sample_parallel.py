@@ -110,7 +110,7 @@ def _distributed_kth_largest(x_local, k: int, n_global: int,
     v = jax.lax.pmin(v_local, axis_name)
     # `t` = bisection rounds taken (1 psum each); total collective
     # rounds per solve = t + 3 (pmin + pmax bounds, final pmin).
-    return (v, t) if return_rounds else v
+    return (v, lo, t) if return_rounds else (v, lo)
 
 
 def _distributed_cvar(x_local, alpha: float, n_global: int, axis_name: str):
@@ -118,16 +118,24 @@ def _distributed_cvar(x_local, alpha: float, n_global: int, axis_name: str):
     core/risk.cvar_from_kth)."""
     an = alpha * n_global
     k = max(min(int(math.ceil(an - 1e-12)), n_global), 1)
-    v = _distributed_kth_largest(x_local, k, n_global, axis_name)
-    gt = x_local > v[..., None]
-    # One psum for BOTH the strict count and the tail sum (stacked
-    # payload; the count is an exact integer <= n_global < 2^24, so the
-    # f32 ride-along is lossless).
-    c_local = jnp.sum(gt, axis=-1).astype(x_local.dtype)
-    t_local = jnp.sum(jnp.where(gt, x_local, 0.0), axis=-1)
-    ct = jax.lax.psum(jnp.stack([c_local, t_local], axis=-1), axis_name)
-    c, tail = ct[..., 0], ct[..., 1]
-    return (tail + (an - c) * v) / an
+    v, lo = _distributed_kth_largest(x_local, k, n_global, axis_name)
+    # Tie-safe tail mean from the >=-set G = {x : key(x) >= lo} only
+    # (the tie count cancels algebraically -- see
+    # ops/pallas_kernels._block_cvar finisher):
+    #   CVaR = (sum_G + (an - |G|) v)/an.
+    # G is known from `lo` BEFORE the v-pmin resolves, so the local
+    # reductions overlap with it; one psum carries both |G| and sum_G
+    # (the count is an exact integer <= n_global < 2^24, so the f32
+    # ride-along is lossless).
+    u = jnp.where(lo >> 31 == 1, lo ^ jnp.uint32(0x80000000), ~lo)
+    f_lo = jax.lax.bitcast_convert_type(u, jnp.float32)
+    ge = x_local.astype(jnp.float32) >= f_lo[..., None]
+    c_local = jnp.sum(ge, axis=-1).astype(jnp.float32)
+    s_local = jnp.sum(jnp.where(ge, x_local.astype(jnp.float32), 0.0),
+                      axis=-1)
+    cs = jax.lax.psum(jnp.stack([c_local, s_local], axis=-1), axis_name)
+    c, s = cs[..., 0], cs[..., 1]
+    return ((s + (an - c) * v) / an).astype(x_local.dtype)
 
 
 def dr_cvar_g_sample_parallel(mesh: Mesh, samples, h, alpha, delta, epsilon,

@@ -159,12 +159,13 @@ def analyze_sharded_programs(n_devices: int = 8, batch: int = 1024,
 
         @functools.partial(shard_map, mesh=sp_mesh,
                            in_specs=SP(None, "samples"),
-                           out_specs=(SP(None), SP()), check_vma=False)
+                           out_specs=(SP(None), SP(None), SP()),
+                           check_vma=False)
         def probe(x_loc):
             return _distributed_kth_largest(x_loc, k_sel, n_glob,
                                             "samples", return_rounds=True)
 
-        _, rounds = jax.jit(probe)(xs)
+        _, _, rounds = jax.jit(probe)(xs)
         r = int(np.asarray(rounds))
         results["halfspace_sample_sharded"]["rounds_per_solve"] = {
             "bisection_rounds_measured": r,

@@ -312,3 +312,24 @@ def test_pallas_select_adversarial_data(case):
     np.testing.assert_allclose(np.asarray(g_k),
                                np.asarray(ref.g_tilde).astype(np.float32),
                                atol=2e-4, rtol=1e-5)
+
+
+def test_pallas_select_large_n_3ary_path():
+    """n_samples >= 1024 takes the 11-bit dual-packed 3-ary count path
+    (the 10-bit triple packing would overflow); exactness must hold at
+    the timing sweep's N=1500 end."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        dr_cvar_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace)
+    rng = np.random.default_rng(17)
+    samples = jnp.asarray(
+        np.array([0.5, 0.0]) + 0.1 * rng.normal(size=(6, 1500, 2)),
+        jnp.float32)
+    ego = jnp.asarray(0.1 * rng.normal(size=(6, 2)), jnp.float32)
+    h_k, g_k = fused_drcvar_halfspace(samples, ego, 0.2, 0.1, 0.15,
+                                      0.3, 0.3, interpret=True)
+    ref = dr_cvar_halfspace(samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3)
+    np.testing.assert_allclose(np.asarray(g_k),
+                               np.asarray(ref.g_tilde).astype(np.float32),
+                               atol=2e-4, rtol=1e-5)
