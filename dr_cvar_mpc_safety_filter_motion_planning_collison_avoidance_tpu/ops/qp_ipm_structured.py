@@ -66,11 +66,12 @@ def _pos_step(v, dv, frac):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "polish",
-                                             "linsolve"))
+                                             "linsolve",
+                                             "ipm_precision"))
 def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
                  max_iters: int = 60, tol: float | None = None,
                  reg: float = 0.0, polish: bool = True,
-                 linsolve: str = "chol"):
+                 linsolve: str = "chol", ipm_precision: str = "highest"):
     """Solve the slack-structured QP above.
 
     Shapes: P_uu [n,n], q_u [n], G_u [m1,n], h1 [m1], A [m2,n], b [m2],
@@ -97,9 +98,14 @@ def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
         reg = 1e-10 if dtype == jnp.float64 else 1e-7
     if tol is None:
         tol = 1e-9 if dtype == jnp.float64 else 3e-5
-    with jax.default_matmul_precision("highest"):
-        return _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
-                           max_iters, tol, reg, polish, linsolve)
+    # `ipm_precision` applies ONLY to the iteration loop's matmuls
+    # (Newton assembly/solves, whose errors the best-iterate tracking,
+    # active-set polish and KKT refinement absorb); the polish and the
+    # final residual evaluations always run at HIGHEST -- they are what
+    # the <1e-4 on-chip control-deviation contract rests on.
+    return _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
+                       max_iters, tol, reg, polish, linsolve,
+                       ipm_precision)
 
 
 def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
@@ -229,7 +235,7 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
 
 
 def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
-                polish=False, linsolve="chol"):
+                polish=False, linsolve="chol", ipm_precision="highest"):
     dtype = P_uu.dtype
     n = P_uu.shape[0]
     m1 = G_u.shape[0]
@@ -368,10 +374,12 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
     init = (u, s, w1, w2, w3, l1, l2, l3,
             (big, u, s, (l1, l2, l3), (w1, w2, w3)), jnp.asarray(False),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    out = jax.lax.while_loop(cond, body, init)
+    with jax.default_matmul_precision(ipm_precision):
+        out = jax.lax.while_loop(cond, body, init)
     u, s, w1, w2, w3, l1, l2, l3, best, done, stall, iters = out
 
-    merit, _ = merit_of(u, s, l1, l2, l3, w1, w2, w3)
+    with jax.default_matmul_precision("highest"):
+        merit, _ = merit_of(u, s, l1, l2, l3, w1, w2, w3)
     best_merit, bu, bs, bl, bw = best
     better = merit < best_merit
     best_merit = jnp.where(better, merit, best_merit)
@@ -383,15 +391,26 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
         lambda new, old: jnp.where(better, new, old), (w1, w2, w3), bw)
 
     if polish:
-        pol = _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
-                      u, s, l1, l2, l3, w1, w2, w3)
-        merit_p, _ = merit_of(*pol)
+        with jax.default_matmul_precision("highest"):
+            pol = _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
+                          u, s, l1, l2, l3, w1, w2, w3)
+            merit_p, _ = merit_of(*pol)
         use_p = jnp.isfinite(merit_p) & (merit_p < best_merit)
         u, s, l1, l2, l3, w1, w2, w3 = jax.tree_util.tree_map(
             lambda new, old: jnp.where(use_p, new, old),
             pol, (u, s, l1, l2, l3, w1, w2, w3))
         best_merit = jnp.where(use_p, merit_p, best_merit)
 
+    with jax.default_matmul_precision("highest"):
+        return _finalize(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, m_total,
+                         m1, tol, dtype, u, s, l1, l2, l3, best_merit,
+                         iters)
+
+
+def _finalize(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, m_total, m1, tol,
+              dtype, u, s, l1, l2, l3, best_merit, iters):
+    """Reported residuals/objective at HIGHEST precision (they are the
+    caller-visible accuracy evidence, independent of `ipm_precision`)."""
     obj = (0.5 * u @ (P_uu @ u) + q_u @ u
            + 0.5 * jnp.dot(p_ss * s, s) + q_s @ s)
     # Complementarity gap from TRUE slacks (h - Gz), not the IPM's w
