@@ -274,6 +274,15 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
     lo1, hi1, cc1 = update(lo0, hi0, c0, m1, m2, c1, c2,
                            row_done(lo0, hi0, c0))
 
+    # (A CDF-interpolated unrolled round 2 was tried here and measured
+    # NET NEGATIVE (~22.9-23.7 -> ~21.4-22.2 M solves/s): linear
+    # interpolation from (v1,c1),(v2,c2) pins the MEDIAN row's quantile
+    # to ~0.05*sigma, but a 256-row block only retires when its WORST
+    # row finishes, and the ~5% of rows whose +-0.1*sigma bracket
+    # misses are left with a LARGER tail interval than plain thirds
+    # would give them.  Uniform 4-ary splitting optimizes the max-row
+    # exit the early-exit actually waits on.)
+
     def cond(state):
         t, lo, hi, c_lo = state
         # 3^22 > 2^32: 22 passes always resolve the interval (4-ary
