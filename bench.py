@@ -211,22 +211,18 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
         from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
             Halfspace)
 
-        # Planes-native path (the production batch layout): samples as
-        # SoA coordinate planes, zero-padded to [batch, n_pad].  The
-        # AoS wrapper's [B,N,2] de-interleave is a full extra HBM
-        # round-trip that costs 4x the kernel itself (kbench), so batch
-        # producers feed planes; both numbers are reported.
-        n_pad = ((n_samples + 127) // 128) * 128
+        # Planes-native path (the production batch layout -- the
+        # environment feeds the kernel SoA planes directly,
+        # simulation/environment.py): samples as coordinate planes,
+        # zero-padded, split ONCE outside the timed loop via the
+        # production _split_planes helper.  The AoS wrapper's per-call
+        # [B,N,2] de-interleave is a full extra HBM round-trip costing
+        # 4x the kernel itself (kbench); both numbers are reported.
+        from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+            _split_planes)
 
-        @jax.jit
-        def to_planes(s):
-            sx = jnp.zeros((batch, n_pad), jnp.float32).at[
-                :, :n_samples].set(s[:, :, 0])
-            sy = jnp.zeros((batch, n_pad), jnp.float32).at[
-                :, :n_samples].set(s[:, :, 1])
-            return sx, sy
-
-        sx_p, sy_p = to_planes(samples)
+        sx_p, sy_p, ego_pp, _, _ = jax.jit(
+            lambda s, e: _split_planes(s, e, 256))(samples, ego0)
         jax.block_until_ready(sx_p)
 
         @jax.jit

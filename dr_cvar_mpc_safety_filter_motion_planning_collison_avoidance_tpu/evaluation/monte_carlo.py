@@ -51,11 +51,13 @@ class MonteCarloResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("statics", "n_runs", "n_steps",
-                                             "n_samples", "chunk"))
+                                             "n_samples", "chunk",
+                                             "qp_iters"))
 def _mc_core(statics: PipelineStatics, key, ego_start, ego_goal,
              obstacle_starts, obstacle_directions, obstacle_speeds,
              n_runs: int, n_steps: int, n_samples: int,
-             noise_var: float, ego_velocity: float, chunk: int = 0):
+             noise_var: float, ego_velocity: float, chunk: int = 0,
+             qp_iters: int = 60):
     """All MC runs as vmapped pipelines (VERDICT r3 weak #5: the round-3
     restore ran `lax.map` -- a sequential scan).  `chunk > 0` bounds
     device memory: runs execute as `lax.map` over ceil(n_runs/chunk)
@@ -66,20 +68,16 @@ def _mc_core(statics: PipelineStatics, key, ego_start, ego_goal,
         res = run_scenario_core(
             statics, k, ego_start, ego_goal, obstacle_starts,
             obstacle_directions, obstacle_speeds, n_steps, n_samples,
-            noise_var, ego_velocity)
+            noise_var, ego_velocity, qp_iters=qp_iters)
         min_d = jnp.concatenate([res.distances.min(axis=1),
                                  res.reference_distance.min()[None]])
         return min_d, res.qp_converged
 
     if chunk <= 0 or chunk >= n_runs:
         return jax.vmap(one_run)(keys)
-    n_chunks = -(-n_runs // chunk)
-    pad = n_chunks * chunk - n_runs
-    keys_p = jnp.concatenate([keys, keys[:pad]]) if pad else keys
-    keys_c = keys_p.reshape((n_chunks, chunk) + keys.shape[1:])
-    min_d, conv = jax.lax.map(jax.vmap(one_run), keys_c)
-    return (min_d.reshape(-1, min_d.shape[-1])[:n_runs],
-            conv.reshape(-1, conv.shape[-1])[:n_runs])
+    # lax.map's native batch_size vmaps within chunks and handles the
+    # remainder chunk itself -- no external padding needed.
+    return jax.lax.map(one_run, keys, batch_size=chunk)
 
 
 def run_monte_carlo_simulation(scenario: Scenario, params: Parameters,
@@ -88,7 +86,8 @@ def run_monte_carlo_simulation(scenario: Scenario, params: Parameters,
                                statics: PipelineStatics | None = None,
                                batched: bool = True,
                                chunk_size: int = 1024,
-                               mesh=None) -> MonteCarloResult:
+                               mesh=None,
+                               qp_iters: int = 60) -> MonteCarloResult:
     """Run the full MC experiment (the paper's collision-probability
     study; reference ghost module, SURVEY.md component 18).
 
@@ -114,8 +113,11 @@ def run_monte_carlo_simulation(scenario: Scenario, params: Parameters,
         n_data = mesh.shape["data"]
         n_pad = -(-n_runs // n_data) * n_data
         keys = jax.random.split(key, n_pad)
+        # Same qp_iters on both paths: mesh and non-mesh MC must
+        # produce IDENTICAL statistics for the same seed.
         dmin, ref_min, conv = run_batch_sharded(
-            mesh, statics, keys, scenario, params, n_steps)
+            mesh, statics, keys, scenario, params, n_steps,
+            qp_iters=qp_iters)
         min_d = jnp.concatenate([dmin, ref_min[:, None]], axis=1)[:n_runs]
         conv = conv[:n_runs]
     else:
@@ -127,7 +129,7 @@ def run_monte_carlo_simulation(scenario: Scenario, params: Parameters,
             jnp.asarray(scenario.obstacle_speeds),
             n_runs, n_steps, params.num_samples, params.noise_var,
             params.ego_velocity,
-            chunk=(chunk_size if batched else 1))
+            chunk=(chunk_size if batched else 1), qp_iters=qp_iters)
 
     collisions = min_d < 0
     return MonteCarloResult(

@@ -211,34 +211,25 @@ def filter_core_batched(prob: MPCProblem, x0_b, x_ref_b, hs_h_b, hs_g_b,
     Under one flat vmap the IPM's shared `lax.while_loop` runs until the
     SLOWEST instance converges; E[max iterations] grows with batch, so
     throughput fell 25% from batch 512 to 8192 (BENCH_r03
-    `mpc_qp_batch_sweep`, VERDICT r3 weak #4).  `lax.map` over chunks
-    gives each chunk its own loop: early-converging chunks retire
-    instead of idling behind global stragglers, and a chunk of 512
-    already fills the chip (512 lanes = 4 Pallas linalg tiles).
-
-    Batch must be a multiple of `chunk` (pad externally), or <= chunk.
-    Returns (u [B,H,m], slack [B,H,n_obs], MPCQPSolution batch, obj [B]).
+    `mpc_qp_batch_sweep`, VERDICT r3 weak #4).  `lax.map` with
+    batch_size=chunk gives each chunk its own loop: early-converging
+    chunks retire instead of idling behind global stragglers, and a
+    chunk of 512 already fills the chip (512 lanes = 4 Pallas linalg
+    tiles).  Any batch size works (lax.map handles the remainder chunk
+    natively).  Returns (u [B,H,m], slack [B,H,n_obs], MPCQPSolution
+    batch, obj [B]).
     """
     B = x0_b.shape[0]
 
-    def solve_many(args):
-        return jax.vmap(
-            lambda a, b, c, d: _filter_core(prob, a, b, c, d, u_min, u_max,
-                                            p_min, p_max, max_iters, tol)
-        )(*args)
+    def solve_one(args):
+        a, b, c, d = args
+        return _filter_core(prob, a, b, c, d, u_min, u_max,
+                            p_min, p_max, max_iters, tol)
 
+    data = (x0_b, x_ref_b, hs_h_b, hs_g_b)
     if B <= chunk:
-        return solve_many((x0_b, x_ref_b, hs_h_b, hs_g_b))
-    if B % chunk != 0:
-        raise ValueError(f"batch {B} not a multiple of chunk {chunk}")
-
-    def reshape(x):
-        return x.reshape((B // chunk, chunk) + x.shape[1:])
-
-    out = jax.lax.map(solve_many, tuple(
-        reshape(x) for x in (x0_b, x_ref_b, hs_h_b, hs_g_b)))
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((B,) + x.shape[2:]), out)
+        return jax.vmap(solve_one)(data)
+    return jax.lax.map(solve_one, data, batch_size=chunk)
 
 
 def filter_trajectory(prob: MPCProblem, x0, x_ref, u_ref, hs_h, hs_g,

@@ -374,6 +374,27 @@ def _pick_tile_b(B: int, tile_b: int | None) -> int:
     return min(256, _round_up(B, 8))
 
 
+# The packed count passes carry two 11-bit count fields per i32 (or
+# three 10-bit fields when n < 1024); any count above this limit would
+# bleed into the neighboring field and SILENTLY corrupt the bisection.
+MAX_N_SAMPLES = 2047
+
+
+def _check_select_shapes(n_samples: int, b_pad: int, tile_b: int):
+    if n_samples > MAX_N_SAMPLES:
+        raise ValueError(
+            f"fused halfspace kernels support n_samples <= "
+            f"{MAX_N_SAMPLES} (packed bit-field counts), got "
+            f"{n_samples}; use ops/halfspace's XLA closed form or the "
+            "sample-sharded path (parallel/sample_parallel.py) for "
+            "larger N")
+    if b_pad % tile_b != 0:
+        raise ValueError(
+            f"planes batch {b_pad} must be a multiple of the row tile "
+            f"{tile_b} (rows past the last full tile would never be "
+            "written); pad the planes batch or pass a dividing tile_b")
+
+
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "delta", "epsilon",
                                     "robot_radius", "obstacle_radius",
@@ -446,6 +467,7 @@ def fused_drcvar_halfspace_planes(sx, sy, ego, n_samples: int,
     """
     b_pad, n_pad = sx.shape
     tile_b = _pick_tile_b(b_pad, tile_b)
+    _check_select_shapes(n_samples, b_pad, tile_b)
     k = max(min(int(math.ceil(alpha * n_samples - 1e-12)), n_samples), 1)
     r_combined = float(robot_radius + obstacle_radius)
 
@@ -532,6 +554,7 @@ def fused_metric_halfspaces_planes(sx, sy, ego, n_samples: int,
     [b_pad, n_pad] planes and outputs keep the padded batch."""
     b_pad, n_pad = sx.shape
     tile_b = _pick_tile_b(b_pad, tile_b)
+    _check_select_shapes(n_samples, b_pad, tile_b)
     k = max(min(int(math.ceil(alpha * n_samples - 1e-12)), n_samples), 1)
     r_combined = float(robot_radius + obstacle_radius)
 

@@ -213,7 +213,10 @@ def _use_pallas(dtype) -> bool:
         return False
     default_dev = jax.config.jax_default_device
     try:
-        platform = (default_dev.platform if default_dev is not None
+        # jax_default_device may be a Device OR a platform string
+        # (jax.default_device("cpu") is legal in jax >= 0.9).
+        platform = (getattr(default_dev, "platform", default_dev)
+                    if default_dev is not None
                     else jax.default_backend())
     except RuntimeError:  # no backend available
         return False

@@ -83,7 +83,9 @@ def _use_pallas_auto(env: Environment) -> bool:
     if jax.config.jax_enable_x64:
         return False
     default_dev = jax.config.jax_default_device
-    platform = (default_dev.platform if default_dev is not None
+    # jax_default_device may be a Device OR a platform string.
+    platform = (getattr(default_dev, "platform", default_dev)
+                if default_dev is not None
                 else jax.default_backend())
     return env.dtype == jnp.float32 and platform == "tpu"
 
@@ -112,7 +114,11 @@ def compute_safe_halfspaces_for_trajectory(env: Environment,
       n_steps = min(len(x_ref), horizon) (environment.py:71).
     """
     if use_pallas is None:
-        use_pallas = _use_pallas_auto(env)
+        from ..ops.pallas_kernels import MAX_N_SAMPLES
+        # Kernel's packed-count fields carry counts <= 2047; beyond
+        # that the XLA closed form takes over automatically.
+        use_pallas = (_use_pallas_auto(env)
+                      and obstacle_samples.shape[1] <= MAX_N_SAMPLES)
     # Clamp to the obstacle data's length too: with a per-scenario
     # sim_time shorter than horizon*dt (paper presets, 3-5 s vs 6 s)
     # there are simply no obstacle samples beyond the simulation end --
@@ -132,19 +138,38 @@ def compute_safe_halfspaces_for_trajectory(env: Environment,
                          env.C, precision=jax.lax.Precision.HIGHEST)
 
     if use_pallas:
-        from ..ops.pallas_kernels import fused_metric_halfspaces
-        flat = samples_t.reshape(n_steps * n_obs, n_samples, 2)
+        from ..ops.pallas_kernels import (_pick_tile_b, _round_up,
+                                          fused_metric_halfspaces_planes)
+        # Feed the kernel SoA coordinate PLANES directly: building a
+        # [B, N, 2] intermediate and re-splitting it inside the AoS
+        # wrapper costs a full extra HBM round-trip (measured 4x the
+        # kernel itself at bench scale -- see ops/pallas_kernels
+        # _split_planes).  Slicing each coordinate out of samples_t
+        # lets XLA fuse transpose+slice+pad into one read per plane.
+        B = n_steps * n_obs
+        tile_b = _pick_tile_b(B, None)
+        b_pad = _round_up(B, tile_b)
+        n_pad = _round_up(n_samples, 128)
+        sx = jnp.zeros((b_pad, n_pad), jnp.float32).at[
+            :B, :n_samples].set(
+                samples_t[..., 0].reshape(B, n_samples).astype(jnp.float32))
+        sy = jnp.zeros((b_pad, n_pad), jnp.float32).at[
+            :B, :n_samples].set(
+                samples_t[..., 1].reshape(B, n_samples).astype(jnp.float32))
         ego_flat = jnp.broadcast_to(ego_pos[:, None, :],
                                     (n_steps, n_obs, 2)).reshape(-1, 2)
-        hm, gm, h, gc, gd = fused_metric_halfspaces(
-            flat, ego_flat, env.alpha, env.delta, env.epsilon,
-            env.robot_radius, env.obstacle_radius)
+        ego_p = jnp.zeros((b_pad, 2), jnp.float32).at[:B].set(
+            ego_flat.astype(jnp.float32))
+        hm, gm, h, gc, gd = fused_metric_halfspaces_planes(
+            sx, sy, ego_p, n_samples, env.alpha, env.delta, env.epsilon,
+            env.robot_radius, env.obstacle_radius, tile_b=tile_b)
         shape2 = (n_steps, n_obs, 2)
         shape1 = (n_steps, n_obs)
         return SafeHalfspaces(
-            mean=Halfspace(hm.reshape(shape2), gm.reshape(shape1)),
-            cvar=Halfspace(h.reshape(shape2), gc.reshape(shape1)),
-            dr_cvar=Halfspace(h.reshape(shape2), gd.reshape(shape1)),
+            mean=Halfspace(hm[:B].reshape(shape2), gm[:B].reshape(shape1)),
+            cvar=Halfspace(h[:B].reshape(shape2), gc[:B].reshape(shape1)),
+            dr_cvar=Halfspace(h[:B].reshape(shape2),
+                              gd[:B].reshape(shape1)),
         )
 
     ego_pos_b = ego_pos[:, None, :]                            # broadcast obs

@@ -55,12 +55,15 @@ def main(batch=2048, k_iters=8):
 
     u_ref_sol = None
     for prec in ("highest", "high", "default"):
+        # All problem data enters as jit ARGUMENTS (closed-over device
+        # arrays lower as embedded MLIR constants -- the compile hazard
+        # bench.py/kbench.py document).
         @functools.partial(jax.jit, static_argnames=("p",))
-        def loop(k, q_u, p):
+        def loop(k, q_u, P_uu, G_u0, h10, HS_u, hs_rhs, p):
             def body(i, carry):
                 q, acc = carry
                 sol = jax.vmap(lambda qq, g, r: solve_mpc_qp(
-                    P_uu, qq, G_u[0], h1[0], g, r, pss, qs,
+                    P_uu, qq, G_u0, h10, g, r, pss, qs,
                     max_iters=35, tol=3e-5, ipm_precision=p))(
                         q, HS_u, hs_rhs)
                 return q_u + 1e-6 * sol.u, acc + jnp.sum(sol.obj)
@@ -70,12 +73,15 @@ def main(batch=2048, k_iters=8):
 
         def t(kk):
             t0 = time.perf_counter()
-            float(loop(jnp.int32(kk), q_u, prec))
+            float(loop(jnp.int32(kk), q_u, P_uu, G_u[0], h1[0],
+                       HS_u, hs_rhs, prec))
             return time.perf_counter() - t0
 
-        float(loop(jnp.int32(0), q_u, prec))
+        float(loop(jnp.int32(0), q_u, P_uu, G_u[0], h1[0],
+                   HS_u, hs_rhs, prec))
         t0 = min(t(0) for _ in range(3))
-        float(loop(jnp.int32(k_iters), q_u, prec))
+        float(loop(jnp.int32(k_iters), q_u, P_uu, G_u[0], h1[0],
+                   HS_u, hs_rhs, prec))
         tk = min(t(k_iters) for _ in range(3))
         per = max(tk - t0, 1e-9) / k_iters
 

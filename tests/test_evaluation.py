@@ -212,13 +212,16 @@ def test_environment_pallas_path_interpret(monkeypatch):
     import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels as pk
     import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation.environment as env_mod
 
-    orig = pk.fused_metric_halfspaces
+    orig = pk.fused_metric_halfspaces_planes
 
     def interp(*args, **kwargs):
         kwargs["interpret"] = True
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(pk, "fused_metric_halfspaces", interp)
+    # The environment feeds the kernel SoA planes directly (round 4).
+    monkeypatch.setattr(env_mod, "fused_metric_halfspaces_planes", interp,
+                        raising=False)
+    monkeypatch.setattr(pk, "fused_metric_halfspaces_planes", interp)
 
     env = env_mod.Environment(robot_radius=0.3, obstacle_radius=0.3,
                               horizon=6, dt=0.2, alpha=0.2, delta=0.1,
@@ -333,3 +336,47 @@ def test_pallas_select_large_n_3ary_path():
     np.testing.assert_allclose(np.asarray(g_k),
                                np.asarray(ref.g_tilde).astype(np.float32),
                                atol=2e-4, rtol=1e-5)
+
+
+def test_pallas_kernel_shape_guards():
+    """Packed-count overflow (n > 2047) and non-dividing row tiles must
+    raise at trace time, not corrupt results silently (round-4 review)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace_planes)
+    sx = jnp.zeros((384, 2176), jnp.float32)
+    sy = jnp.zeros((384, 2176), jnp.float32)
+    ego = jnp.zeros((384, 2), jnp.float32)
+    with pytest.raises(ValueError, match="n_samples"):
+        fused_drcvar_halfspace_planes(sx, sy, ego, 2100, 0.2, 0.1, 0.15,
+                                      0.3, 0.3, tile_b=128)
+    with pytest.raises(ValueError, match="multiple of the row tile"):
+        fused_drcvar_halfspace_planes(sx[:, :1024], sy[:, :1024], ego,
+                                      1000, 0.2, 0.1, 0.15, 0.3, 0.3,
+                                      tile_b=256)
+
+
+def test_environment_xla_fallback_above_kernel_n_limit(monkeypatch):
+    """N > 2047 on a (simulated) TPU backend must auto-route to the XLA
+    closed form instead of tripping the kernel's count-packing guard."""
+    import jax
+
+    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation.environment as env_mod
+
+    x64_was = jax.config.jax_enable_x64
+    try:
+        jax.config.update("jax_enable_x64", False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        env = env_mod.Environment(robot_radius=0.3, obstacle_radius=0.3,
+                                  horizon=3, dt=0.2, alpha=0.2, delta=0.1,
+                                  epsilon=0.15, dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        samples = jnp.asarray(rng.normal(size=(1, 2100, 4, 2)), jnp.float32)
+        x_ref = jnp.asarray(np.cumsum(rng.normal(size=(4, 4)), axis=0),
+                            jnp.float32)
+        # Would raise (or emit an uncompilable pallas_call) if routed to
+        # the kernel; the N-gate sends it to XLA, which runs on CPU.
+        hs = env_mod.compute_safe_halfspaces_for_trajectory(
+            env, samples, x_ref)
+        assert np.isfinite(np.asarray(hs.dr_cvar.g_tilde)).all()
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)

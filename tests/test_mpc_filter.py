@@ -181,6 +181,10 @@ def test_filter_core_batched_matches_flat_vmap():
         p_min, p_max, 40, None, chunk=4)
     np.testing.assert_allclose(np.asarray(u_1), np.asarray(u_f[:2]),
                                rtol=1e-7, atol=1e-8)
-    with pytest.raises(ValueError):
-        filter_core_batched(prob, x0_b[:5], xr_b[:5], hh_b[:5], hg_b[:5],
-                            u_min, u_max, p_min, p_max, 40, None, chunk=2)
+    # Non-multiple batches work: lax.map's batch_size handles the
+    # remainder chunk natively.
+    u_r, _, _, _ = filter_core_batched(
+        prob, x0_b[:5], xr_b[:5], hh_b[:5], hg_b[:5], u_min, u_max,
+        p_min, p_max, 40, None, chunk=2)
+    np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_f[:5]),
+                               rtol=1e-7, atol=1e-8)
