@@ -381,8 +381,10 @@ def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
     best_rate, best_batch = 0.0, batches[0]
     for batch in batches:
         # Fewer chained iterations at the largest batches: constant
-        # total work, per-iteration time grows with batch.
-        k = max(2, int(round(k_iters * batches[0] / batch)))
+        # total work, per-iteration time grows with batch.  Floor of 4:
+        # at k=2 a few ms of tunnel jitter on the K=0 baseline skews
+        # per-iter time ~15% (a 121k QP/s outlier was observed).
+        k = max(4, int(round(k_iters * batches[0] / batch)))
         t, _, _ = _loop_time(
             make_loop(x0_0[:batch], x_ref[:batch], hs_h[:batch],
                       hs_g[:batch]), k)
