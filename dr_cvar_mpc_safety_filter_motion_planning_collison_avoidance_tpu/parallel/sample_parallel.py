@@ -3,11 +3,12 @@
 For very large N (e.g. the 1500-sample end of the timing sweep, or
 N >> 1e5 research settings) the Monte-Carlo sample axis itself can be
 sharded.  The CVaR tail reduction needs the k-th largest projection --
-an order statistic, which we compute with the radix-select bisection of
-ops/halfspace.kth_largest_radix_select: every step needs only a COUNT of
-samples above a pivot, and counts are `psum`s.  The whole solver thus
-runs sample-parallel with 32 scalar psums + 2 masked-sum psums per
-halfspace batch, all riding ICI.
+an order statistic, computed by 3-ary early-exit bisection in which
+every round needs only COUNTS of samples above two pivots, and counts
+are `psum`s (one packed psum per round).  The whole solver thus runs
+sample-parallel with ~15 collective rounds per halfspace batch
+(pmin+pmax span init, ~11 measured bisection rounds, packed count/sum
+psum, final pmin -- SCALING.json `rounds_per_solve`), all riding ICI.
 """
 
 from __future__ import annotations
