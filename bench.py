@@ -297,8 +297,11 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
                                        (e8, jnp.float32(0.0)))
             return acc
 
+        # 8192 chained solves: at ~5 us each the K-delta (~40 ms) must
+        # clear the ~25 ms tunnel-RTT jitter or the subtraction returns
+        # noise (a K=512 run measured 0.0).
         t_pl_lat, _, _ = _loop_time(
-            lambda k: pl_lat_loop(k, sx1, sy1, e8), 512)
+            lambda k: pl_lat_loop(k, sx1, sy1, e8), 8192)
         out["drcvar_pallas_batch1_latency_us"] = t_pl_lat * 1e6
     out["rtt_floor_ms"] = rtt * 1e3
     out["device_kind"] = device_kind
