@@ -109,3 +109,38 @@ def test_run_batch_sharded_pipeline():
     np.testing.assert_allclose(np.asarray(min_d[0]),
                                np.asarray(res0.distances.min(axis=1)),
                                rtol=1e-10)
+
+
+def test_mc_mesh_and_nonmesh_agree():
+    """run_monte_carlo_simulation must produce the same statistics with
+    and without a mesh (round-4 review: the two paths solved with
+    different qp_iters, silently diverging).  Key-prefix property makes
+    the padded mesh key batch share its first n_runs keys with the
+    non-mesh split, so results must agree to float32 reduction noise."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu as dct
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.monte_carlo import (
+        run_monte_carlo_simulation)
+
+    params = dct.config.get_parameters("custom")
+    import dataclasses
+    params = dataclasses.replace(params, sim_time=4.0, num_samples=10)
+    scenario = dct.config.get_scenario_config("head_on")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("data",))
+    r_plain = run_monte_carlo_simulation(scenario, params, n_runs=10,
+                                         seed=3, dtype=jnp.float32)
+    r_mesh = run_monte_carlo_simulation(scenario, params, n_runs=10,
+                                        seed=3, dtype=jnp.float32,
+                                        mesh=mesh)
+    # 5e-5: shard_map and vmap compile to different fusion orders, so
+    # f32 reductions differ in the last bits; the bug this guards
+    # against (different qp_iters -> fallback flips) shifts distances
+    # by ~0.1.
+    np.testing.assert_allclose(np.asarray(r_mesh.min_distances),
+                               np.asarray(r_plain.min_distances),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(r_mesh.qp_converged),
+                                  np.asarray(r_plain.qp_converged))
