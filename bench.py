@@ -664,13 +664,15 @@ def main():
             "kbench attribution: pure HBM streaming floor is 0.39 ms "
             "per 32768-solve batch (680 GB/s, 85M solves/s); the "
             "remaining ~1.0 ms is the EXACT order-statistic select "
-            "(~6-8 packed count passes over the block at ~0.1 ms each "
-            "-- VPU-bound, each pass reads the 1 MB projection block). "
-            "Moment-seeded bounds + 4-ary packing already cut passes "
-            "~40% vs round 3; a CDF-interpolated round was tried and "
-            "measured net negative (worst-row exit dominates, see "
-            "ops/pallas_kernels.py). Approximate selects would go "
-            "faster but break the exactness contract.")
+            "(measured 9.9 packed count passes per 256-row block on "
+            "average, max 14 -- kbench.measure_prod_rounds; each pass "
+            "reads the 1 MB projection block on the VPU).  A block "
+            "retires on its WORST row, costing ~3 rounds over the "
+            "median-row log4 optimum; moment-seeded bounds + 4-ary "
+            "packing already cut passes ~40% vs round 3, and a "
+            "CDF-interpolated round measured net negative for the same "
+            "worst-row reason.  Approximate selects would go faster "
+            "but break the exactness contract.")
     print(json.dumps(out))
 
 
