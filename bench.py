@@ -237,8 +237,11 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
             _, acc = jax.lax.fori_loop(0, k, body, (e0, jnp.float32(0.0)))
             return acc
 
+        # ego must carry the PADDED batch (b_pad rows) to match the
+        # planes: feeding the unpadded ego0 only type-checked because
+        # batch happened to be a tile multiple (ADVICE r4).
         t_pl, _, _ = _loop_time(
-            lambda k: planes_loop(k, sx_p, sy_p, ego0), k_iters)
+            lambda k: planes_loop(k, sx_p, sy_p, ego_pp), k_iters)
         bw_pl, _ = _gate_bandwidth("drcvar_pallas", sample_bytes, t_pl,
                                    sample_bytes, peak_gbps)
         out["drcvar_pallas_implied_hbm_gbps"] = bw_pl
@@ -252,6 +255,60 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
 
         t_aos, _, _ = _loop_time(make_loop(pl_solver), k_iters)
         out["drcvar_pallas_aos_solves_per_s"] = batch / t_aos
+
+        # --- N=4096: above the old 2047 packed-count cap (round-5 task
+        # 3: the kernel's count fields now widen with N, so the 5.6x
+        # cliff onto the XLA closed form is gone; both paths measured).
+        n_big, b_big = 4096, 8192
+        big_bytes = b_big * n_big * 2 * 4  # 256 MB > VMEM: hard gate
+
+        @jax.jit
+        def make_big(key):
+            k1, k2 = jax.random.split(key)
+            s = (jnp.array([0.5, 0.0], jnp.float32)
+                 + 0.1 * jax.random.normal(k1, (b_big, n_big, 2),
+                                           jnp.float32))
+            e = 0.1 * jax.random.normal(k2, (b_big, 2), jnp.float32)
+            return s, e
+
+        samples_b, ego_b = make_big(jax.random.PRNGKey(seed + 1))
+        sxb, syb, egob, _, _ = jax.jit(
+            lambda s, e: _split_planes(s, e, 128))(samples_b, ego_b)
+        jax.block_until_ready(sxb)
+
+        @jax.jit
+        def planes_loop_big(k, sx, sy, e0):
+            def body(i, carry):
+                ego, acc = carry
+                h, g = fused_drcvar_halfspace_planes(
+                    sx, sy, ego, n_big, p.alpha, p.delta, p.epsilon,
+                    p.robot_radius, p.obstacle_radius)
+                return e0 + 1e-6 * g[:, None], acc + jnp.sum(g)
+            _, acc = jax.lax.fori_loop(0, k, body, (e0, jnp.float32(0.0)))
+            return acc
+
+        t_pb, _, _ = _loop_time(
+            lambda k: planes_loop_big(k, sxb, syb, egob), 16)
+        _gate_bandwidth("drcvar_pallas_n4096", big_bytes, t_pb,
+                        big_bytes, peak_gbps)
+        out["drcvar_pallas_n4096_solves_per_s"] = b_big / t_pb
+
+        @jax.jit
+        def xla_loop_big(k, s, e0):
+            def body(i, carry):
+                ego, acc = carry
+                hs = dr_solver(s, ego)
+                return (e0 + 1e-6 * hs.g_tilde[:, None],
+                        acc + jnp.sum(hs.g_tilde))
+            _, acc = jax.lax.fori_loop(0, k, body, (e0, jnp.float32(0.0)))
+            return acc
+
+        t_xb, _, _ = _loop_time(
+            lambda k: xla_loop_big(k, samples_b, ego_b), 16)
+        _gate_bandwidth("drcvar_xla_n4096", big_bytes, t_xb,
+                        big_bytes, peak_gbps)
+        out["drcvar_xla_n4096_solves_per_s"] = b_big / t_xb
+        del samples_b, ego_b, sxb, syb, egob
     out["drcvar_solves_per_s"] = batch / (t_dr if t_pl is None
                                           else min(t_dr, t_pl))
 
@@ -505,7 +562,27 @@ def bench_pipeline(batch=256, n_samples=1000, k_iters=4, seed=0,
     t, _, _ = _loop_time(loop, k_iters, repeats=3)
     key = ("pipeline_scenarios_per_s" if preset == "custom"
            else f"pipeline_{preset}_scenarios_per_s")
-    return {key: batch / t}
+    out = {key: batch / t}
+
+    if preset == "custom":
+        # Composed single-scenario latency (the paper's real-time-filter
+        # use case, VERDICT r4 next #8): one full pipeline at batch 1,
+        # chained-loop methodology as everywhere else.  256 chained
+        # pipelines (~0.5 s) clear the tunnel-RTT jitter.
+        @jax.jit
+        def lat_loop(k):
+            def body(i, carry):
+                ego, acc = carry
+                kk = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+                dmin, usum = one(kk, ego)
+                return ego_start + 1e-6 * dmin, acc + dmin + usum
+            _, acc = jax.lax.fori_loop(
+                0, k, body, (ego_start, jnp.float32(0.0)))
+            return acc
+
+        t1, _, _ = _loop_time(lat_loop, 256, repeats=3)
+        out["pipeline_batch1_latency_ms"] = t1 * 1e3
+    return out
 
 
 def bench_mc(n_runs=300, k_iters=4, seed=0):
@@ -573,18 +650,18 @@ def _northstar_block(results):
             "halfspace_collectives": s["halfspace_data_sharded"]["total"],
             "mpc_collectives": s["mpc_data_sharded"]["total"],
         }
-    return {
+    # Numeric-only block (the projection-basis / accuracy-bound prose
+    # lives in BENCH_NOTES.md so the driver's 2000-char tail capture
+    # keeps every number, VERDICT r4 weak #2).
+    out = {
         "target_solves_per_s_v5e16": 10000,
         "measured_single_chip_mpc_solves_per_s": round(per_chip, 1),
         "projected_v5e16_solves_per_s": round(per_chip * 16, 1),
         "projection_margin_x": round(per_chip * 16 / 10000, 1),
-        "projection_basis": "single chip x 16; data-sharded solver "
-                            "programs contain zero cross-device "
-                            "collectives (SCALING.json census)",
-        "data_sharded_collective_census": census,
-        "accuracy_bound": "max|u_TPU - u_oracle| < 1e-4 asserted on "
-                          "chip (tests/test_tpu.py)",
     }
+    if census is not None:
+        out["collective_census"] = census
+    return out
 
 
 def main():
@@ -596,6 +673,20 @@ def main():
     results.update(bench_mc())
 
     value = results["drcvar_solves_per_s"]
+    # Methodology / attribution prose lives in BENCH_NOTES.md and is
+    # printed as its own line BEFORE the result: the driver archives
+    # only the LAST 2000 characters of bench output, and in round 4 the
+    # trailing prose evicted the headline numbers from the committed
+    # BENCH_r04.json (VERDICT r4 weak #2).  The FINAL line is compact
+    # all-numeric JSON, asserted under the cap.
+    print(json.dumps({
+        "metric": "bench_context",
+        "notes": "see BENCH_NOTES.md (methodology, layout/headroom "
+                 "attribution, northstar projection basis)",
+        "methodology": "in-program lax.fori_loop K-chained iterations, "
+                       "value-readback timing, K=0 RTT subtracted, "
+                       "HBM-bandwidth gate on >VMEM working set",
+    }))
     out = {
         "metric": "drcvar_halfspace_solves_per_s_n1000",
         "value": round(value, 2),
@@ -603,11 +694,7 @@ def main():
         "vs_baseline": round(value / BASELINE_SOLVES_PER_S, 2),
         "baseline_solves_per_s": round(BASELINE_SOLVES_PER_S, 2),
         "device_kind": results["device_kind"],
-        "methodology": "in-program lax.fori_loop K-chained iterations, "
-                       "value-readback timing, K=0 RTT subtracted, "
-                       "HBM-bandwidth gate on >VMEM working set",
         "halfspace_batch": results["halfspace_batch"],
-        "halfspace_k_iters": results["halfspace_k_iters"],
         "rtt_floor_ms": round(results["rtt_floor_ms"], 3),
         "drcvar_xla_solves_per_s": round(
             results["drcvar_xla_solves_per_s"], 2),
@@ -616,11 +703,6 @@ def main():
         "cvar_solves_per_s": round(results["cvar_solves_per_s"], 2),
         "drcvar_batch1_latency_us": round(
             results["drcvar_batch1_latency_us"], 2),
-        "batch1_latency_note": (
-            "XLA closed-form path; grew 6.5 -> ~31 us with the round-3 "
-            "accuracy hardening (HIGHEST einsums, double centering). "
-            "The Pallas kernel at batch 1 (drcvar_pallas_batch1_"
-            "latency_us, ~5 us) is the production low-latency path."),
         "mpc_qp_solves_per_s": round(results["mpc_qp_solves_per_s"], 2),
         "mpc_qp_best_batch": results["mpc_qp_best_batch"],
         "mpc_qp_batch_sweep": results["mpc_qp_batch_sweep"],
@@ -632,48 +714,26 @@ def main():
             results["pipeline_scenarios_per_s"], 2),
         "pipeline_paper_scenarios_per_s": round(
             results["pipeline_paper_scenarios_per_s"], 2),
+        "pipeline_batch1_latency_ms": round(
+            results["pipeline_batch1_latency_ms"], 3),
         "mc_runs_per_s": round(results["mc_runs_per_s"], 2),
         "mc_n_runs": results["mc_n_runs"],
-        "pipeline_regression_attribution": (
-            "r3's 1632->628 scen/s drop was NOT the precision wraps: it "
-            "was the 3-metric inner vmap engaging the Pallas linalg "
-            "with 3 live lanes in a 128-lane tile and the outer batch "
-            "vmap then batching the pallas_call as a sequential grid "
-            "axis (~2% lane utilization). Fixed by recursive custom_vmap "
-            "collapse (ops/pallas_linalg.py); all HIGHEST-precision "
-            "accuracy wraps kept -- no accuracy traded for the recovery."),
         "northstar": _northstar_block(results),
     }
     # Off-TPU the Pallas kernel never runs; omit its keys rather than
     # alias the XLA number under the Pallas label.
-    if "drcvar_pallas_solves_per_s" in results:
-        out["drcvar_pallas_solves_per_s"] = round(
-            results["drcvar_pallas_solves_per_s"], 2)
-        out["drcvar_pallas_implied_hbm_gbps"] = round(
-            results["drcvar_pallas_implied_hbm_gbps"], 1)
-        out["drcvar_pallas_aos_solves_per_s"] = round(
-            results["drcvar_pallas_aos_solves_per_s"], 2)
-        out["drcvar_pallas_batch1_latency_us"] = round(
-            results["drcvar_pallas_batch1_latency_us"], 2)
-        out["drcvar_pallas_layout_note"] = (
-            "headline = planes-native SoA input (the production layout: "
-            "simulation/environment.py feeds the kernel planes "
-            "directly); *_aos_* = [B,N,2] wrapper incl. the "
-            "de-interleave HBM round-trip")
-        out["drcvar_pallas_headroom_note"] = (
-            "kbench attribution: pure HBM streaming floor is 0.39 ms "
-            "per 32768-solve batch (680 GB/s, 85M solves/s); the "
-            "remaining ~1.0 ms is the EXACT order-statistic select "
-            "(measured 9.9 packed count passes per 256-row block on "
-            "average, max 14 -- kbench.measure_prod_rounds; each pass "
-            "reads the 1 MB projection block on the VPU).  A block "
-            "retires on its WORST row, costing ~3 rounds over the "
-            "median-row log4 optimum; moment-seeded bounds + 4-ary "
-            "packing already cut passes ~40% vs round 3, and a "
-            "CDF-interpolated round measured net negative for the same "
-            "worst-row reason.  Approximate selects would go faster "
-            "but break the exactness contract.")
-    print(json.dumps(out))
+    for k in ("drcvar_pallas_solves_per_s",
+              "drcvar_pallas_implied_hbm_gbps",
+              "drcvar_pallas_aos_solves_per_s",
+              "drcvar_pallas_batch1_latency_us",
+              "drcvar_pallas_n4096_solves_per_s",
+              "drcvar_xla_n4096_solves_per_s"):
+        if k in results:
+            out[k] = round(results[k], 2)
+    line = json.dumps(out)
+    # Hard self-check: the record must survive the driver's tail cap.
+    assert len(line) <= 1900, (len(line), "final bench line too long")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -72,7 +72,7 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
                                      params: Parameters | None = None,
                                      repeats: int = 20, seed: int = 0,
                                      dtype=jnp.float32, verbose=True,
-                                     resume: bool = False):
+                                     resume: bool = False, mesh=None):
     """Sweep sample sizes and time batched halfspace solves.
 
     Reference evaluation/timing_analysis.py:13-132.  Per size:
@@ -95,6 +95,11 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
     With `resume=True` and a `save_dir`, sizes already present in
     `save_dir/timing_data.npz` are skipped and the checkpoint is
     extended -- long sweeps survive interruption.
+
+    Pass a `jax.sharding.Mesh` with a `data` axis as `mesh` to shard
+    each size's instance batch over devices
+    (parallel/sweep.make_sharded_timing_solvers; the CLI's
+    `--mode timing_analysis --mesh data=N` route).
 
     Returns the same timing_data dict structure as the reference
     (keys: {,cvar_}{setup,solve,call}_times -> {n: [ms, ...]}).
@@ -120,7 +125,11 @@ def analyze_dr_cvar_computation_time(sample_sizes=(10, 50, 100, 500, 1000,
             print(f"Resuming: sizes {sorted(done_sizes)} loaded from "
                   f"{npz_path}")
 
-    dr_batch, cvar_batch = _make_batched_solvers(params)
+    if mesh is not None:
+        from ..parallel.sweep import make_sharded_timing_solvers
+        dr_batch, cvar_batch = make_sharded_timing_solvers(mesh, params)
+    else:
+        dr_batch, cvar_batch = _make_batched_solvers(params)
     h = jnp.asarray(np.array([1.0, 1.0]) / np.sqrt(2.0), dtype)
     rng = np.random.default_rng(seed)
 

@@ -202,8 +202,14 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
     sig = sigma[:, None]                # [bt, 1]: keep row vectors 2-D
     # (pltpu.bitcast in _row_key/_row_float requires rank >= 2)
 
-    # Chebyshev bracket: every finite |x| <= sigma*sqrt(n).
-    rad = sig * jnp.float32(math.sqrt(n_samples) * (1.0 + 1e-6))
+    # Chebyshev bracket: every finite |x| <= sigma*sqrt(n).  The margin
+    # must provably cover the f32 rounding of the sum-of-squares that
+    # produced sigma: a worst-case-order n-term f32 accumulation carries
+    # ~n*2^-24 relative error, so the margin is derived from n rather
+    # than a fixed 1e-6 (ADVICE r4).  An over-wide bracket only costs
+    # log4(1+margin) ~ 0 extra select work.
+    rad = sig * jnp.float32(math.sqrt(n_samples)
+                            * (1.0 + 32.0 * n_samples * 2.0 ** -24))
     kmin_row = jnp.full((bt, 1), _KEY_FIN_MIN, jnp.uint32)
     lo0 = _umax(_row_key(-rad), kmin_row)
     hi0 = _row_key(rad)
@@ -213,14 +219,22 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
     def row_done(lo, hi, c_lo):
         return (c_lo == k) | (lo >= hi)
 
+    # Dual-packed count field width: counts reach n_samples, so fields
+    # carry ceil(log2(n+1)) bits (>= 11 keeps the historical layout for
+    # the reference sweep sizes).  Two fields must fit an int32 without
+    # the top field reaching the sign bit: fb <= 15 <=> n <= 32767
+    # (MAX_N_SAMPLES; guarded in _check_select_shapes).
+    fb = max(11, int(n_samples).bit_length())
+    fmask = (1 << fb) - 1
+
     def count2(f1, f2):
         """Packed dual-pivot count pass (ONE block reduction)."""
         d = ((x >= f1).astype(jnp.int32)
-             + (x >= f2).astype(jnp.int32) * 2048)
+             + (x >= f2).astype(jnp.int32) * (1 << fb))
         # dtype pinned: under jax_enable_x64 an int32 sum would promote
         # to int64 and break the while_loop carry (and Mosaic lowering).
         w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
-        return w & 2047, w >> 11
+        return w & fmask, w >> fb
 
     def count3(f1, f2, f3):
         """Packed TRIPLE-pivot count pass (still one block reduction):
@@ -307,7 +321,8 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
             lo_n, hi_n, c_n = update3(lo, hi, c_lo, m1, m2, m3,
                                       c1, c2, c3, frozen)
         else:
-            # 3-ary with 11-bit dual packing (counts up to n_pad-1).
+            # 3-ary with fb-bit dual packing (11 bits up to the
+            # reference sweep's N=1500/2047; 12-15 bits up to 32767).
             third = span // 3
             # No kmin clamp needed: lo >= lo0 >= kmin always, so
             # m1 > lo >= kmin (pivots stay in decodable key range).
@@ -365,19 +380,31 @@ def _drcvar_kernel(sx_ref, sy_ref, ego_ref, out_g_ref, out_h_ref,
     out_h_ref[:] = jnp.stack([hx, hy], axis=1)
 
 
-def _pick_tile_b(B: int, tile_b: int | None) -> int:
+# Elements per [tile_b, n_pad] block (2 MB in f32).  VMEM is ~16 MB per
+# core; the live set is roughly sx + sy (double-buffered by the Pallas
+# pipeline) + the x projection temp + compare temporaries, so a 2 MB
+# data block keeps the kernel resident at every supported N.
+_TILE_ELEMS = 512 * 1024
+
+
+def _pick_tile_b(B: int, tile_b: int | None, n_pad: int = 2048) -> int:
     """Block rows: large tiles amortize the radix chain's sequential
     latency over more parallel rows (16 -> 256 measured 2.8x faster at
-    batch 32768); small batches get one sublane-aligned block."""
+    batch 32768); small batches get one sublane-aligned block; wide
+    sample rows (n_pad > 2048) scale rows down to hold the VMEM budget
+    (N=32768 -> 16-row tiles)."""
     if tile_b is not None:
         return tile_b
-    return min(256, _round_up(B, 8))
+    cap = max(8, (_TILE_ELEMS // max(n_pad, 128)) // 8 * 8)
+    return min(256, cap, _round_up(B, 8))
 
 
-# The packed count passes carry two 11-bit count fields per i32 (or
-# three 10-bit fields when n < 1024); any count above this limit would
-# bleed into the neighboring field and SILENTLY corrupt the bisection.
-MAX_N_SAMPLES = 2047
+# The packed count passes carry two count fields per i32 (or three
+# 10-bit fields when n < 1024); the dual fields widen with n up to
+# 15 bits each, so n <= 32767.  Any count above the field limit would
+# bleed into the neighboring field and SILENTLY corrupt the bisection,
+# hence the hard guard.
+MAX_N_SAMPLES = 32767
 
 
 def _check_select_shapes(n_samples: int, b_pad: int, tile_b: int):
@@ -414,7 +441,7 @@ def fused_drcvar_halfspace(samples, ego_ref_pos, alpha: float, delta: float,
       ops/halfspace.dr_cvar_halfspace.
     """
     B = samples.shape[0]
-    tile_b = _pick_tile_b(B, tile_b)
+    tile_b = _pick_tile_b(B, tile_b, _round_up(samples.shape[1], 128))
     sx, sy, ego, B, N = _split_planes(samples, ego_ref_pos, tile_b)
     h, g = fused_drcvar_halfspace_planes(
         sx, sy, ego, N, alpha, delta, epsilon, robot_radius,
@@ -434,8 +461,8 @@ def _split_planes(samples, ego_ref_pos, tile_b):
     samples = samples.astype(jnp.float32)
     ego_ref_pos = ego_ref_pos.astype(jnp.float32)
     B, N, _ = samples.shape
-    tile_b = _pick_tile_b(B, tile_b)
     n_pad = _round_up(N, 128)
+    tile_b = _pick_tile_b(B, tile_b, n_pad)
     b_pad = _round_up(B, tile_b)
     sx = jnp.zeros((b_pad, n_pad), jnp.float32).at[:B, :N].set(
         samples[:, :, 0])
@@ -466,7 +493,7 @@ def fused_drcvar_halfspace_planes(sx, sy, ego, n_samples: int,
     batch are padding.
     """
     b_pad, n_pad = sx.shape
-    tile_b = _pick_tile_b(b_pad, tile_b)
+    tile_b = _pick_tile_b(b_pad, tile_b, n_pad)
     _check_select_shapes(n_samples, b_pad, tile_b)
     k = max(min(int(math.ceil(alpha * n_samples - 1e-12)), n_samples), 1)
     r_combined = float(robot_radius + obstacle_radius)
@@ -527,7 +554,7 @@ def fused_metric_halfspaces(samples, ego_ref_pos, alpha: float,
       exactly matching ops/halfspace.{mean,cvar,dr_cvar}_halfspace.
     """
     B = samples.shape[0]
-    tile_b = _pick_tile_b(B, tile_b)
+    tile_b = _pick_tile_b(B, tile_b, _round_up(samples.shape[1], 128))
     sx, sy, ego, B, N = _split_planes(samples, ego_ref_pos, tile_b)
     out = fused_metric_halfspaces_planes(
         sx, sy, ego, N, alpha, delta, epsilon, robot_radius,
@@ -553,7 +580,7 @@ def fused_metric_halfspaces_planes(sx, sy, ego, n_samples: int,
     Args / returns as `fused_metric_halfspaces`, but sx/sy are padded
     [b_pad, n_pad] planes and outputs keep the padded batch."""
     b_pad, n_pad = sx.shape
-    tile_b = _pick_tile_b(b_pad, tile_b)
+    tile_b = _pick_tile_b(b_pad, tile_b, n_pad)
     _check_select_shapes(n_samples, b_pad, tile_b)
     k = max(min(int(math.ceil(alpha * n_samples - 1e-12)), n_samples), 1)
     r_combined = float(robot_radius + obstacle_radius)

@@ -277,6 +277,12 @@ def chol_solve_b(L, r):
     enclosing `vmap` folds its axis into one flat kernel batch."""
     if L.ndim > 2:
         lead = L.shape[:-2]
+        if r.shape[:len(lead)] != lead:
+            raise ValueError(
+                f"chol_solve_b: rhs leading dims {r.shape[:len(lead)]} "
+                f"must equal the factor's batch dims {lead} "
+                f"(L {L.shape}, r {r.shape}); broadcast the rhs to the "
+                "factor batch before calling")
         Lf = L.reshape((-1,) + L.shape[-2:])
         rf = r.reshape((-1,) + r.shape[len(lead):])
         return _dispatch_solve(Lf, rf).reshape(r.shape)

@@ -159,11 +159,15 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
     act = jnp.concatenate([a1, m_eq])                      # bool [m_rows]
     l_all = jnp.concatenate([l1, l2])
     m_rows = E.shape[0]
-    # Cap at N_PAD (64) so the Schur system stays on the lane-batched
-    # Pallas Cholesky path for n = 64 problems too (at a nondegenerate
-    # optimum at most n rows are active, so >= n selections suffice;
-    # the merit gate still rejects a degenerate over-truncation).
-    k_sel = min(n + 4, m_rows, _LINALG_N_PAD)
+    # At a nondegenerate optimum at most n rows are active, so n + 4
+    # selections suffice.  When that fits the lane-batched Pallas
+    # Cholesky tile (N_PAD = 64) the Schur solve stays on the fast path;
+    # for n > 60 keep the full n + 4 selection (correct polish) even
+    # though the Schur system then falls off the Pallas path -- capping
+    # there would silently under-select and degrade polish quality
+    # (ADVICE r4).  The merit gate still rejects any degenerate
+    # over-truncation.
+    k_sel = min(n + 4, m_rows)
 
     # Gather the active rows (highest multipliers first; inactive rows
     # that pad out the selection get va=0 and decouple as identity

@@ -85,3 +85,48 @@ def sharded_halfspace_throughput(mesh: Mesh, samples, h, alpha, delta,
         in_specs=(P("data", None, None), P("data", None)),
         out_specs=P("data"), check_vma=False))
     return solve(samples, h)
+
+
+def make_sharded_timing_solvers(mesh: Mesh, params: Parameters):
+    """Mesh-sharded counterparts of
+    evaluation.timing_analysis._make_batched_solvers: (dr, cvar) solvers
+    with the same `(samples [B, N, 2], h [2]) -> g [B]` signature, the
+    instance batch sharded over the mesh's `data` axis (the multi-chip
+    route of `main.py --mode timing_analysis --mesh data=N`; same
+    shard_map shape as `sharded_halfspace_throughput`).
+
+    The shard_mapped jit is built ONCE per solver (the returned closures
+    are reused across the sweep's repeats, so repeats hit the jit
+    cache); batches not divisible by the data axis are padded by
+    wrapping and stripped after.
+    """
+    from ..ops.halfspace import cvar_g_star, dr_cvar_g_star
+
+    n_data = mesh.shape["data"]
+
+    def _wrap(local):
+        solve = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P("data", None, None), P(None)),
+            out_specs=P("data"), check_vma=False))
+
+        def solver(samples, h):
+            B = samples.shape[0]
+            pad = -B % n_data
+            if pad:
+                samples = jnp.concatenate([samples, samples[:pad]], axis=0)
+            samples = jax.device_put(samples, data_sharding(mesh, 3))
+            return solve(samples, h)[:B]
+
+        return solver
+
+    def dr_local(samples, h):
+        g_star, _ = dr_cvar_g_star(
+            samples, h, params.alpha, params.delta, params.epsilon,
+            params.robot_radius, params.obstacle_radius)
+        return g_star
+
+    def cv_local(samples, h):
+        return cvar_g_star(samples, h, params.alpha, params.delta,
+                           params.robot_radius, params.obstacle_radius)
+
+    return _wrap(dr_local), _wrap(cv_local)

@@ -115,8 +115,9 @@ def compute_safe_halfspaces_for_trajectory(env: Environment,
     """
     if use_pallas is None:
         from ..ops.pallas_kernels import MAX_N_SAMPLES
-        # Kernel's packed-count fields carry counts <= 2047; beyond
-        # that the XLA closed form takes over automatically.
+        # Kernel's packed-count fields carry counts <= 32767 (widths
+        # scale with N since round 5); beyond that the XLA closed form
+        # takes over automatically.
         use_pallas = (_use_pallas_auto(env)
                       and obstacle_samples.shape[1] <= MAX_N_SAMPLES)
     # Clamp to the obstacle data's length too: with a per-scenario
@@ -147,9 +148,9 @@ def compute_safe_halfspaces_for_trajectory(env: Environment,
         # _split_planes).  Slicing each coordinate out of samples_t
         # lets XLA fuse transpose+slice+pad into one read per plane.
         B = n_steps * n_obs
-        tile_b = _pick_tile_b(B, None)
-        b_pad = _round_up(B, tile_b)
         n_pad = _round_up(n_samples, 128)
+        tile_b = _pick_tile_b(B, None, n_pad)
+        b_pad = _round_up(B, tile_b)
         sx = jnp.zeros((b_pad, n_pad), jnp.float32).at[
             :B, :n_samples].set(
                 samples_t[..., 0].reshape(B, n_samples).astype(jnp.float32))

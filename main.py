@@ -1,184 +1,10 @@
-"""CLI driver for the TPU-native DR-CVaR safety-filtering engine.
+"""CLI shim: same entry surface as the reference (`python main.py ...`,
+reference main.py:188-236).  The implementation lives in the installable
+package (`dr_cvar_..._tpu/cli.py`), also exposed as the `dr-cvar-filter`
+console script (pyproject.toml)."""
 
-Same command surface as the reference (reference main.py:193-236):
-
-  python main.py --scenario head_on --mode single [--animate]
-                 [--metric dr_cvar]
-  python main.py --mode timing_analysis --sample_sizes 10,50,... \
-                 --timing_runs 50
-plus new modes/flags:
-  --mode monte_carlo --mc_runs 300     (restored ghost module)
-  --preset custom|paper                (replaces comment-toggled configs)
-  --dtype float32|float64
-Artifacts are written under --save_dir (default `results/`) with the same
-file names the reference produces (main.py:156-173,249-261).
-"""
-
-from __future__ import annotations
-
-import argparse
-import os
-
-import numpy as np
-
-
-def run_single(args):
-    import jax.numpy as jnp
-
-    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu as dct
-    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation import (
-        visualization as viz)
-
-    params = dct.config.get_parameters(args.preset)
-    scenario = dct.config.get_scenario_config(args.scenario, args.preset)
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-
-    print(f"Running scenario: {scenario.description}")
-    with dct.utils.Timer("Full pipeline (jit + run)"):
-        result = dct.models.run_single_scenario(scenario, params,
-                                                seed=args.seed, dtype=dtype)
-
-    # In-memory counterpart of the reference's per-solve timing side
-    # channel (reference core/risk_metrics.py:16-33): solver iteration /
-    # gap / wall-time info rides in the result struct itself.
-    print("\nMPC Feasibility Information:")
-    for i, metric in enumerate(dct.models.METRICS):
-        status = "optimal" if bool(result.qp_converged[i]) else "fallback"
-        print(f"{metric} status: {status}  "
-              f"(ipm_iters={int(result.qp_iterations[i])}, "
-              f"gap={float(result.qp_gap[i]):.2e})")
-    print(f"pipeline wall time: {float(result.wall_time_ms):.1f} ms "
-          f"(jit + all 3 metrics)")
-
-    distances = {m: np.asarray(result.distances[i])
-                 for i, m in enumerate(dct.models.METRICS)}
-    distances["reference"] = np.asarray(result.reference_distance)
-    for name, d in distances.items():
-        verdict = "COLLISION" if d.min() < 0 else "Safe"
-        print(f"{name:10s}: min distance {d.min():+.4f}  [{verdict}]")
-
-    os.makedirs(args.save_dir, exist_ok=True)
-    viz.plot_distance_to_collision(
-        distances,
-        save_path=os.path.join(args.save_dir,
-                               f"{args.scenario}_results.png"))
-
-    metric = args.metric
-    idx = dct.models.METRICS.index(metric)
-    hs = result.halfspaces.by_metric(metric)
-    viz.visualize_trajectory_with_halfspaces(
-        np.asarray(result.filtered_x[idx]),
-        np.asarray(result.obstacles.realization),
-        np.asarray(hs.h), np.asarray(hs.g_tilde),
-        params.robot_radius, params.obstacle_radius,
-        title=(f"{args.scenario.capitalize()} Scenario with "
-               f"{metric.upper()} Safe Halfspaces"),
-        save_path=os.path.join(
-            args.save_dir, f"{args.scenario}_{metric}_halfspaces.png"))
-    print(f"Saved plots to {args.save_dir}/")
-
-    if args.animate:
-        print("\nCreating animation...")
-        path = os.path.join(args.save_dir,
-                            f"{args.scenario}_{metric}_animation.mp4")
-        viz.animate_scenario(
-            np.asarray(result.filtered_x[idx]),
-            np.asarray(result.obstacles.realization),
-            params.robot_radius, params.obstacle_radius,
-            np.asarray(hs.h), np.asarray(hs.g_tilde),
-            title=(f"{args.scenario.capitalize()} Scenario with "
-                   f"{metric.upper()} Safety Filtering"),
-            save_path=path)
-        print(f"Animation saved near {path}")
-    return result
-
-
-def run_timing(args):
-    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu as dct
-
-    params = dct.config.get_parameters(args.preset)
-    sizes = [int(n.strip()) for n in args.sample_sizes.split(",")]
-    print("\nRunning DR-CVaR computation time analysis...")
-    dct.evaluation.analyze_dr_cvar_computation_time(
-        sample_sizes=sizes, n_runs=args.timing_runs,
-        save_dir=args.save_dir, params=params)
-    print(f"Timing analysis complete. Results saved to {args.save_dir}")
-
-
-def run_monte_carlo(args):
-    import jax.numpy as jnp
-
-    import dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu as dct
-    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.simulation import (
-        visualization as viz)
-
-    params = dct.config.get_parameters(args.preset)
-    scenario = dct.config.get_scenario_config(args.scenario, args.preset)
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-    print(f"Monte Carlo: {args.mc_runs} runs of {args.scenario} ...")
-    with dct.utils.Timer("Monte Carlo (jit + run)"):
-        result = dct.evaluation.run_monte_carlo_simulation(
-            scenario, params, n_runs=args.mc_runs, seed=args.seed,
-            dtype=dtype)
-    dct.evaluation.print_mc_summary(result)
-
-    os.makedirs(args.save_dir, exist_ok=True)
-    npz_path = os.path.join(args.save_dir, f"{args.scenario}_mc_data.npz")
-    dct.evaluation.save_mc_result(result, npz_path)
-    print(f"Saved MC arrays to {npz_path}")
-    names = list(dct.models.METRICS) + ["reference"]
-    md = np.asarray(result.min_distances)
-    viz.compare_risk_metrics(
-        {name: md[:, i] for i, name in enumerate(names)},
-        save_path=os.path.join(args.save_dir,
-                               f"{args.scenario}_mc_comparison.png"),
-        title=f"{args.scenario}: min distance over {args.mc_runs} MC runs")
-    print(f"Saved MC comparison plot to {args.save_dir}/")
-    return result
-
-
-def main(argv=None):
-    parser = argparse.ArgumentParser(
-        description="Run DR-CVaR Safety Filtering Scenarios (TPU-native)")
-    parser.add_argument("--scenario",
-                        choices=["head_on", "overtaking", "intersection",
-                                 "multi_obstacle"],
-                        default="head_on")
-    parser.add_argument("--mode",
-                        choices=["single", "timing_analysis", "monte_carlo"],
-                        default="single")
-    parser.add_argument("--animate", action="store_true")
-    parser.add_argument("--metric", choices=["mean", "cvar", "dr_cvar"],
-                        default="dr_cvar")
-    parser.add_argument("--sample_sizes", type=str,
-                        default="10,50,100,500,1000,1500")
-    parser.add_argument("--timing_runs", type=int, default=50)
-    parser.add_argument("--mc_runs", type=int, default=300)
-    parser.add_argument("--preset", choices=["custom", "paper"],
-                        default="custom")
-    parser.add_argument("--dtype", choices=["float32", "float64"],
-                        default="float32")
-    parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--save_dir", type=str, default="results")
-    parser.add_argument("--profile_dir", type=str, default=None,
-                        help="capture a jax.profiler device trace of the "
-                             "run into this directory (TensorBoard/xprof)")
-    args = parser.parse_args(argv)
-
-    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.utils import (
-        trace)
-
-    os.makedirs(args.save_dir, exist_ok=True)
-    with trace(args.profile_dir):
-        if args.mode == "single":
-            run_single(args)
-        elif args.mode == "timing_analysis":
-            run_timing(args)
-        elif args.mode == "monte_carlo":
-            run_monte_carlo(args)
-    if args.profile_dir:
-        print(f"Profiler trace written to {args.profile_dir}")
-
+from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.cli import (  # noqa: E501
+    main)
 
 if __name__ == "__main__":
     main()

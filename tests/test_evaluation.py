@@ -339,24 +339,47 @@ def test_pallas_select_large_n_3ary_path():
 
 
 def test_pallas_kernel_shape_guards():
-    """Packed-count overflow (n > 2047) and non-dividing row tiles must
-    raise at trace time, not corrupt results silently (round-4 review)."""
+    """Packed-count overflow (n > 32767: a 15-bit dual field would reach
+    the int32 sign bit) and non-dividing row tiles must raise at trace
+    time, not corrupt results silently (round-4 review; cap lifted from
+    2047 in round 5 by N-scaled field widths)."""
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
         fused_drcvar_halfspace_planes)
-    sx = jnp.zeros((384, 2176), jnp.float32)
-    sy = jnp.zeros((384, 2176), jnp.float32)
-    ego = jnp.zeros((384, 2), jnp.float32)
+    sx = jnp.zeros((8, 33024), jnp.float32)
+    sy = jnp.zeros((8, 33024), jnp.float32)
+    ego = jnp.zeros((8, 2), jnp.float32)
     with pytest.raises(ValueError, match="n_samples"):
-        fused_drcvar_halfspace_planes(sx, sy, ego, 2100, 0.2, 0.1, 0.15,
-                                      0.3, 0.3, tile_b=128)
+        fused_drcvar_halfspace_planes(sx, sy, ego, 32800, 0.2, 0.1, 0.15,
+                                      0.3, 0.3, tile_b=8)
     with pytest.raises(ValueError, match="multiple of the row tile"):
         fused_drcvar_halfspace_planes(sx[:, :1024], sy[:, :1024], ego,
                                       1000, 0.2, 0.1, 0.15, 0.3, 0.3,
                                       tile_b=256)
 
 
+def test_pallas_select_n4096_wide_field_path():
+    """N above the old 2047 packed-count cap must stay EXACT on the
+    widened (12-bit at N=4096) dual-packed count path instead of
+    cliffing onto the XLA closed form (round-4 verdict next #3)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        dr_cvar_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace)
+    rng = np.random.default_rng(23)
+    samples = jnp.asarray(
+        np.array([0.5, 0.0]) + 0.1 * rng.normal(size=(4, 4096, 2)),
+        jnp.float32)
+    ego = jnp.asarray(0.1 * rng.normal(size=(4, 2)), jnp.float32)
+    h_k, g_k = fused_drcvar_halfspace(samples, ego, 0.2, 0.1, 0.15,
+                                      0.3, 0.3, interpret=True)
+    ref = dr_cvar_halfspace(samples, ego, 0.2, 0.1, 0.15, 0.3, 0.3)
+    np.testing.assert_allclose(np.asarray(g_k),
+                               np.asarray(ref.g_tilde).astype(np.float32),
+                               atol=2e-4, rtol=1e-5)
+
+
 def test_environment_xla_fallback_above_kernel_n_limit(monkeypatch):
-    """N > 2047 on a (simulated) TPU backend must auto-route to the XLA
+    """N > 32767 on a (simulated) TPU backend must auto-route to the XLA
     closed form instead of tripping the kernel's count-packing guard."""
     import jax
 
@@ -370,7 +393,8 @@ def test_environment_xla_fallback_above_kernel_n_limit(monkeypatch):
                                   horizon=3, dt=0.2, alpha=0.2, delta=0.1,
                                   epsilon=0.15, dtype=jnp.float32)
         rng = np.random.default_rng(5)
-        samples = jnp.asarray(rng.normal(size=(1, 2100, 4, 2)), jnp.float32)
+        samples = jnp.asarray(rng.normal(size=(1, 32800, 4, 2)),
+                              jnp.float32)
         x_ref = jnp.asarray(np.cumsum(rng.normal(size=(4, 4)), axis=0),
                             jnp.float32)
         # Would raise (or emit an uncompilable pallas_call) if routed to

