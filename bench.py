@@ -373,11 +373,17 @@ def bench_halfspace(n_samples=1000, batch=32768, k_iters=64, seed=0):
     return out
 
 
-# Conservative FLOP floor per MPC QP solve (35 Mehrotra iterations x
-# ~2.6 MFLOP Schur assembly/Cholesky/solves + ~30 MFLOP active-set
-# polish).  Used for both the physical gate and the reported MFU, so
-# the MFU figure is a FLOOR (real arithmetic per solve is higher).
-MPC_FLOP_PER_QP = 100e6
+# Conservative per-ITERATION / per-POLISH FLOP floors for the
+# structured MPC QP (structured-G Schur assembly ~1.1 MFLOP + 60^3/3
+# Cholesky + solves/matvecs ~ 1.2 MFLOP per Mehrotra iteration; the
+# gathered active-set polish ~4 MFLOP).  The per-QP floor is DERIVED
+# from the measured mean iteration count of the benched batch: rounds
+# 1-4 assumed the solver always ran max_iters=35 (100 MFLOP/QP), but
+# the early exit actually retires the bench distribution in ~7-11
+# iterations, which inflated the reported "MFU floor" ~5x.  Honest
+# floor = measured iterations x per-iteration FLOPs.
+MPC_FLOP_PER_ITER = 1.2e6
+MPC_FLOP_POLISH = 4e6
 F32_PEAK_TFLOPS = {
     "TPU v5 lite": 49.0,   # v5e: 197 bf16 TOPS / 4
     "TPU v5e": 49.0,
@@ -434,6 +440,17 @@ def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
     x0_0, x_ref, hs_h, hs_g = make_data(jax.random.PRNGKey(seed))
     jax.block_until_ready(x0_0)
 
+    # Measured iteration count of this exact batch (untimed): the FLOP
+    # floor and MFU are derived from it, not from max_iters.
+    probe = filter_core_batched(
+        prob, x0_0[:2048], x_ref[:2048], hs_h[:2048], hs_g[:2048],
+        jnp.asarray([-5.0, -5.0], jnp.float32),
+        jnp.asarray([5.0, 5.0], jnp.float32),
+        jnp.asarray([-10.0, -10.0], jnp.float32),
+        jnp.asarray([10.0, 10.0], jnp.float32), 35, 3e-5)[2]
+    mean_iters = float(np.mean(np.asarray(probe.iterations)))
+    flop_per_qp = mean_iters * MPC_FLOP_PER_ITER + MPC_FLOP_POLISH
+
     u_min = jnp.asarray([-5.0, -5.0], jnp.float32)
     u_max = -u_min
     p_min = jnp.asarray([-10.0, -10.0], jnp.float32)
@@ -478,10 +495,9 @@ def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
             make_loop(x0_0[:batch], x_ref[:batch], hs_h[:batch],
                       hs_g[:batch]), k)
         per_qp = t / batch
-        # FLOP floor: >= 35 IPM iterations x ~3 MFLOP (Schur assembly two
-        # 240x60x60-ish matmuls + 60^3/3 Cholesky + solves) + polish
-        # ~ 100 MFLOP/QP; v5e f32 peak ~49 TFLOP/s -> >= 2 us/QP.
-        if per_qp < MPC_FLOP_PER_QP / (peak_tflops * 1e12):
+        # FLOP-floor gate at f32 peak, from the MEASURED mean iteration
+        # count (see MPC_FLOP_PER_ITER note).
+        if per_qp < flop_per_qp / (peak_tflops * 1e12):
             print(json.dumps({"metric": "MEASUREMENT_REJECTED",
                               "bench": "mpc",
                               "reason": f"{per_qp*1e6:.2f} us/QP beats the "
@@ -494,11 +510,12 @@ def bench_mpc(batches=(512, 2048, 8192), k_iters=8, seed=0, n_obs=3):
 
     t1, _, _ = _loop_time(
         make_loop(x0_0[:1], x_ref[:1], hs_h[:1], hs_g[:1]), 64)
-    mfu = best_rate * MPC_FLOP_PER_QP / (peak_tflops * 1e12)
+    mfu = best_rate * flop_per_qp / (peak_tflops * 1e12)
     return {"mpc_qp_solves_per_s": best_rate,
             "mpc_qp_best_batch": best_batch,
             "mpc_qp_batch_sweep": sweep,
             "mpc_qp_mfu_floor_pct": round(100.0 * mfu, 2),
+            "mpc_qp_mean_ipm_iters": round(mean_iters, 1),
             "mpc_qp_n_obs": n_obs,
             "mpc_qp_batch1_latency_ms": t1 * 1e3}
 
@@ -707,6 +724,7 @@ def main():
         "mpc_qp_best_batch": results["mpc_qp_best_batch"],
         "mpc_qp_batch_sweep": results["mpc_qp_batch_sweep"],
         "mpc_qp_mfu_floor_pct": results["mpc_qp_mfu_floor_pct"],
+        "mpc_qp_mean_ipm_iters": results["mpc_qp_mean_ipm_iters"],
         "mpc_qp_n_obs": results["mpc_qp_n_obs"],
         "mpc_qp_batch1_latency_ms": round(
             results["mpc_qp_batch1_latency_ms"], 3),

@@ -128,7 +128,8 @@ def _trim_bounds(bounds, dim):
                                              "has_u_bounds", "has_p_bounds"))
 def _filter_core(prob: MPCProblem, x0, x_ref, hs_h, hs_g,
                  u_min, u_max, p_min, p_max, max_iters: int, tol,
-                 has_u_bounds: bool = True, has_p_bounds: bool = True):
+                 has_u_bounds: bool = True, has_p_bounds: bool = True,
+                 warm=None):
     """Assemble and solve the condensed QP for one instance.
 
     `has_u_bounds` / `has_p_bounds` are static: absent bounds drop their
@@ -136,18 +137,22 @@ def _filter_core(prob: MPCProblem, x0, x_ref, hs_h, hs_g,
     compile), matching the reference's conditional constraint blocks
     (core/mpc_filter.py:87,93).
 
+    `warm`: optional `(u, s, l1, l2, l3)` iterates of a related solve
+    (see ops/qp_ipm_structured.solve_mpc_qp) -- pipeline passes the
+    mean-metric solution to seed the cvar/dr_cvar solves.
+
     Runs at HIGHEST matmul precision: the condensed-data matmuls feed the
     QP right-hand sides, and reduced-precision TPU f32 passes would inject
     ~1e-3 errors into the problem data itself."""
     with jax.default_matmul_precision("highest"):
         return _filter_core_body(prob, x0, x_ref, hs_h, hs_g,
                                  u_min, u_max, p_min, p_max, max_iters, tol,
-                                 has_u_bounds, has_p_bounds)
+                                 has_u_bounds, has_p_bounds, warm)
 
 
 def _filter_core_body(prob, x0, x_ref, hs_h, hs_g,
                       u_min, u_max, p_min, p_max, max_iters, tol,
-                      has_u_bounds, has_p_bounds):
+                      has_u_bounds, has_p_bounds, warm=None):
     H, n, m, p = prob.horizon, prob.n_states, prob.n_inputs, prob.n_outputs
     n_obs = prob.n_obstacles
     n_u = H * m
@@ -188,9 +193,14 @@ def _filter_core_body(prob, x0, x_ref, hs_h, hs_g,
         h1 = jnp.zeros((0,), dtype)
 
     P_uu = prob.P[:n_u, :n_u]
+    # Both box families present -> G has the [I; -I; Theta; -Theta]
+    # layout the solver can exploit structurally (halves the Schur
+    # assembly FLOPs; see solve_mpc_qp's box_theta doc).
+    box_theta = Theta_flat if (has_u_bounds and has_p_bounds) else None
     sol = solve_mpc_qp(P_uu, q_u, G_u, h1, HS_u, hs_rhs,
                        2.0 * SLACK_QUAD, SLACK_LIN,
-                       max_iters=max_iters, tol=tol)
+                       max_iters=max_iters, tol=tol, warm=warm,
+                       box_theta=box_theta)
 
     u_opt = sol.u.reshape(H, m)
     slack = sol.s.reshape(H, n_obs)

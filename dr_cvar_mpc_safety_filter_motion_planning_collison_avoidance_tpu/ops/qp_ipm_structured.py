@@ -56,6 +56,8 @@ class MPCQPSolution(NamedTuple):
     iterations: jax.Array
     merit: jax.Array       # achieved scaled KKT merit (callers may apply
                            # their own acceptance threshold)
+    mults: tuple           # (l1 [m1], l2 [m2], l3 [m2]) dual iterates --
+                           # feed back as `warm` to seed a related solve
 
 
 def _pos_step(v, dv, frac):
@@ -71,7 +73,8 @@ def _pos_step(v, dv, frac):
 def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
                  max_iters: int = 60, tol: float | None = None,
                  reg: float = 0.0, polish: bool = True,
-                 linsolve: str = "chol", ipm_precision: str = "highest"):
+                 linsolve: str = "chol", ipm_precision: str = "highest",
+                 warm=None, box_theta=None):
     """Solve the slack-structured QP above.
 
     Shapes: P_uu [n,n], q_u [n], G_u [m1,n], h1 [m1], A [m2,n], b [m2],
@@ -81,6 +84,25 @@ def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
     that takes the float32 iterate from the IPM's merit floor (~1e-4
     relative) down to linear-solve accuracy (~1e-6) -- needed to meet
     the <1e-4 end-to-end control-deviation target in float32.
+
+    `warm` (optional): a `(u0, s0, l1, l2, l3)` tuple -- typically the
+    iterates (`sol.u`, `sol.s`, `*sol.mults`) of a RELATED solve (same
+    shapes, nearby data: another risk metric's QP, the previous
+    receding-horizon step) -- used as the interior-point start after
+    interiority shifts (slacks/multipliers floored at 1e-2).  Purely a
+    convergence accelerator: the merit-based termination, best-iterate
+    tracking, polish and acceptance thresholds are identical, so a bad
+    seed costs iterations, never accuracy.
+
+    `box_theta` (optional): when `G_u` has the MPC box layout
+    `[I; -I; T; -T]` (input boxes as identity rows, position boxes as
+    +-T rows), pass T ([hp, n]) here.  Every per-iteration product with
+    G_u then exploits the structure -- (G'.d)G collapses to
+    diag(da+db) + (T'.(dc+dd))T, matvecs to one T product -- cutting
+    the Schur-assembly FLOPs (the iteration's dominant matmul) roughly
+    in half.  `G_u`/`h1` must still be passed (the one-shot active-set
+    polish gathers dense rows); results are identical up to f32
+    summation order.
 
     `linsolve` picks how the per-iteration Newton systems are solved:
       * "chol": cho_factor once, two single-RHS cho_solve calls
@@ -105,7 +127,7 @@ def solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
     # the <1e-4 on-chip control-deviation contract rests on.
     return _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s,
                        max_iters, tol, reg, polish, linsolve,
-                       ipm_precision)
+                       ipm_precision, warm, box_theta)
 
 
 def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
@@ -239,11 +261,46 @@ def _polish(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, reg,
 
 
 def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
-                polish=False, linsolve="chol", ipm_precision="highest"):
+                polish=False, linsolve="chol", ipm_precision="highest",
+                warm=None, box_theta=None):
     dtype = P_uu.dtype
     n = P_uu.shape[0]
     m1 = G_u.shape[0]
     m2 = A.shape[0]
+
+    # Structure-exploiting G_u operators (see solve_mpc_qp docstring):
+    # with the [I; -I; T; -T] box layout, matvec/rmatvec need one T
+    # product instead of an m1 x n one, and the weighted Gram matrix is
+    # a diagonal plus a T-sized product.
+    if box_theta is not None:
+        T = box_theta.astype(dtype)
+        hp = T.shape[0]
+        if m1 != 2 * n + 2 * hp:
+            raise ValueError(
+                f"box_theta layout expects m1 == 2n + 2hp rows "
+                f"(got m1={m1}, n={n}, hp={hp})")
+
+        def gu_mv(v):
+            Tv = T @ v
+            return jnp.concatenate([v, -v, Tv, -Tv])
+
+        def gu_rmv(w):
+            head = w[:n] - w[n:2 * n]
+            return head + T.T @ (w[2 * n:2 * n + hp] - w[2 * n + hp:])
+
+        def gu_quad(d):
+            diag = d[:n] + d[n:2 * n]
+            dT = d[2 * n:2 * n + hp] + d[2 * n + hp:]
+            return jnp.diag(diag) + (T.T * dT) @ T
+    else:
+        def gu_mv(v):
+            return G_u @ v
+
+        def gu_rmv(w):
+            return G_u.T @ w
+
+        def gu_quad(d):
+            return (G_u.T * d) @ G_u
     m_total = m1 + 2 * m2
     p_ss = jnp.broadcast_to(jnp.asarray(p_ss, dtype), (m2,))
     q_s = jnp.broadcast_to(jnp.asarray(q_s, dtype), (m2,))
@@ -253,25 +310,42 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
     big = jnp.asarray(1e30, dtype)
     eye = jnp.eye(n, dtype=dtype)
 
-    u = jnp.zeros((n,), dtype)
-    s = jnp.zeros((m2,), dtype)
-    w1 = jnp.maximum(h1, 1.0)
-    w2 = jnp.maximum(b, 1.0)
-    w3 = jnp.ones((m2,), dtype)
-    l1 = jnp.clip(1.0 / w1, 1e-6, 1e6)
-    l2 = jnp.clip(1.0 / w2, 1e-6, 1e6)
-    l3 = jnp.clip(1.0 / w3, 1e-6, 1e6)
+    if warm is None:
+        u = jnp.zeros((n,), dtype)
+        s = jnp.zeros((m2,), dtype)
+        w1 = jnp.maximum(h1, 1.0)
+        w2 = jnp.maximum(b, 1.0)
+        w3 = jnp.ones((m2,), dtype)
+        l1 = jnp.clip(1.0 / w1, 1e-6, 1e6)
+        l2 = jnp.clip(1.0 / w2, 1e-6, 1e6)
+        l3 = jnp.clip(1.0 / w3, 1e-6, 1e6)
+    else:
+        # Warm start from a related solve's iterates: restore
+        # interiority by flooring slacks/multipliers at 1e-2 (a large
+        # floor keeps central-path mu moderate, which is what makes a
+        # slightly-off seed converge instead of jamming on the
+        # boundary).  Pure accelerator -- see solve_mpc_qp docstring.
+        u0, s0, l10, l20, l30 = warm
+        fl = jnp.asarray(1e-2, dtype)
+        u = u0.astype(dtype)
+        s = jnp.maximum(s0.astype(dtype), 0.0)
+        w1 = jnp.maximum(h1 - gu_mv(u), fl)
+        w2 = jnp.maximum(b - A @ u + s, fl)
+        w3 = jnp.maximum(s, fl)
+        l1 = jnp.clip(jnp.maximum(l10.astype(dtype), fl), 1e-6, 1e6)
+        l2 = jnp.clip(jnp.maximum(l20.astype(dtype), fl), 1e-6, 1e6)
+        l3 = jnp.clip(jnp.maximum(l30.astype(dtype), fl), 1e-6, 1e6)
 
     def merit_of(u, s, l1, l2, l3, w1, w2, w3):
         mu = (jnp.dot(l1, w1) + jnp.dot(l2, w2) + jnp.dot(l3, w3)) / m_total
         Au = A @ u
-        viol_box = (jnp.max(jnp.maximum(G_u @ u - h1, 0.0))
+        viol_box = (jnp.max(jnp.maximum(gu_mv(u) - h1, 0.0))
                     if m1 > 0 else jnp.asarray(0.0, dtype))
         viol = jnp.maximum(
             viol_box,
             jnp.maximum(jnp.max(jnp.maximum(Au - s - b, 0.0)),
                         jnp.max(jnp.maximum(-s, 0.0))))
-        rd_u = jnp.max(jnp.abs(P_uu @ u + q_u + G_u.T @ l1 + A.T @ l2))
+        rd_u = jnp.max(jnp.abs(P_uu @ u + q_u + gu_rmv(l1) + A.T @ l2))
         rd_s = jnp.max(jnp.abs(p_ss * s + q_s - l2 - l3))
         return (mu + viol + jnp.maximum(rd_u, rd_s)) / q_scale, mu
 
@@ -299,9 +373,9 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
         bw = jax.tree_util.tree_map(
             lambda new, old: jnp.where(better, new, old), (w1, w2, w3), bw)
 
-        r_du = P_uu @ u + q_u + G_u.T @ l1 + A.T @ l2
+        r_du = P_uu @ u + q_u + gu_rmv(l1) + A.T @ l2
         r_ds = p_ss * s + q_s - l2 - l3
-        r_p1 = G_u @ u + w1 - h1
+        r_p1 = gu_mv(u) + w1 - h1
         r_p2 = A @ u - s + w2 - b
         r_p3 = -s + w3
 
@@ -310,7 +384,7 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
         d3 = jnp.clip(l3 / w3, 1e-10, 1e10)
         m_ss = p_ss + d2 + d3
         d2_eff = d2 - d2 * d2 / m_ss
-        S = (P_uu + (G_u.T * d1) @ G_u + (A.T * d2_eff) @ A + reg * eye)
+        S = (P_uu + gu_quad(d1) + (A.T * d2_eff) @ A + reg * eye)
         # chol_factor_b / chol_solve_b: scipy semantics per instance; on
         # TPU under vmap they dispatch to the lane-batched Pallas
         # kernels (ops/pallas_linalg.py) -- the batched XLA
@@ -320,13 +394,13 @@ def _solve_body(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, max_iters, tol, reg,
 
         def newton(rc1, rc2, rc3):
             t_s = (-r_ds + d2 * r_p2 - rc2 / w2 + d3 * r_p3 - rc3 / w3)
-            rhs = (-r_du - G_u.T @ (d1 * r_p1 - rc1 / w1)
+            rhs = (-r_du - gu_rmv(d1 * r_p1 - rc1 / w1)
                    - A.T @ (d2 * r_p2 - rc2 / w2)
                    + A.T @ (d2 * t_s / m_ss))
             du = (S_inv @ rhs if linsolve == "inv"
                   else chol_solve_b(Lchol, rhs))
             ds = (t_s + d2 * (A @ du)) / m_ss
-            dl1 = d1 * (G_u @ du + r_p1) - rc1 / w1
+            dl1 = d1 * (gu_mv(du) + r_p1) - rc1 / w1
             dl2 = d2 * (A @ du - ds + r_p2) - rc2 / w2
             dl3 = d3 * (-ds + r_p3) - rc3 / w3
             dw1 = -(rc1 + w1 * dl1) / l1
@@ -438,4 +512,4 @@ def _finalize(P_uu, q_u, G_u, h1, A, b, p_ss, q_s, m_total, m1, tol,
     # still far tighter than the reference's OSQP eps=1e-3 defaults.
     converged = best_merit < 10.0 * tol
     return MPCQPSolution(u, s, obj, gap, viol, rd, converged, iters,
-                         best_merit)
+                         best_merit, (l1, l2, l3))

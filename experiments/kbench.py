@@ -386,10 +386,11 @@ if __name__ == "__main__":
 
 
 def measure_prod_rounds(batch=32768, N=1000, tile_b=256):
-    """Instrumented copy of the PRODUCTION select loop: reports the
-    while_loop trip count per block (the block retires on its WORST
-    row), to quantify how close the moment-seeded 4-ary select runs to
-    the log4 optimum.  Reuses the production helper functions."""
+    """Reports the PRODUCTION select's while_loop trip count per block
+    (the block retires on its WORST row), to quantify how close the
+    seeded secant select runs to its optimum.  Reuses the production
+    loop body itself via pallas_kernels._select_lo(return_rounds=True)
+    -- no inlined copy to desynchronize (ADVICE r4)."""
     import numpy as np
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
         pallas_kernels as pk)
@@ -400,7 +401,6 @@ def measure_prod_rounds(batch=32768, N=1000, tile_b=256):
     sx = 0.5 + 0.1 * jax.random.normal(key, (b_pad, n_pad), jnp.float32)
     sy = 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
                                  (b_pad, n_pad), jnp.float32)
-    col = None
     alpha = 0.2
     k = max(min(int(math.ceil(alpha * N - 1e-12)), N), 1)
 
@@ -413,92 +413,8 @@ def measure_prod_rounds(batch=32768, N=1000, tile_b=256):
         mask = colv < N
         _, _, hx, hy, x, sigma, shift = pk._centered_stats(
             sxv, syv, ego, mask, N)
-        # Inline the production select, capturing t.
-        from statistics import NormalDist
-        sig = sigma[:, None]
-        rad = sig * jnp.float32(math.sqrt(N) * (1.0 + 1e-6))
-        kmin_row = jnp.full((bt, 1), pk._KEY_FIN_MIN, jnp.uint32)
-        lo0 = pk._umax(pk._row_key(-rad), kmin_row)
-        hi0 = pk._row_key(rad)
-        c0 = jnp.full((bt, 1), N, jnp.int32)
-
-        def row_done(lo, hi, c_lo):
-            return (c_lo == k) | (lo >= hi)
-
-        def count3(f1, f2, f3):
-            d = ((x >= f1).astype(jnp.int32)
-                 + (x >= f2).astype(jnp.int32) * 1024
-                 + (x >= f3).astype(jnp.int32) * 1048576)
-            w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
-            return w & 1023, (w >> 10) & 1023, w >> 20
-
-        def count2(f1, f2):
-            d = ((x >= f1).astype(jnp.int32)
-                 + (x >= f2).astype(jnp.int32) * 2048)
-            w = jnp.sum(d, axis=1, keepdims=True, dtype=jnp.int32)
-            return w & 2047, w >> 11
-
-        def update(lo, hi, c_lo, m1, m2, c1, c2, frozen):
-            ok2 = c2 >= k
-            ok1 = c1 >= k
-            lo_n = jnp.where(ok2, m2, jnp.where(ok1, m1, lo))
-            c_n = jnp.where(ok2, c2, jnp.where(ok1, c1, c_lo))
-            hi_n = jnp.where(ok2, hi,
-                             jnp.where(ok1, m2 - jnp.uint32(1),
-                                       m1 - jnp.uint32(1)))
-            return (jnp.where(frozen, lo, lo_n),
-                    jnp.where(frozen, hi, hi_n),
-                    jnp.where(frozen, c_lo, c_n))
-
-        def update3(lo, hi, c_lo, m1, m2, m3, c1, c2, c3, frozen):
-            ok3 = c3 >= k
-            ok2 = c2 >= k
-            ok1 = c1 >= k
-            one = jnp.uint32(1)
-            lo_n = jnp.where(ok3, m3,
-                             jnp.where(ok2, m2, jnp.where(ok1, m1, lo)))
-            c_n = jnp.where(ok3, c3,
-                            jnp.where(ok2, c2, jnp.where(ok1, c1, c_lo)))
-            hi_n = jnp.where(ok3, hi,
-                             jnp.where(ok2, m3 - one,
-                                       jnp.where(ok1, m2 - one,
-                                                 m1 - one)))
-            return (jnp.where(frozen, lo, lo_n),
-                    jnp.where(frozen, hi, hi_n),
-                    jnp.where(frozen, c_lo, c_n))
-
-        q = min(max(1.0 - k / N, 1e-7), 1.0 - 1e-7)
-        z = NormalDist().inv_cdf(q)
-        v1 = jnp.float32(z - 0.55) * sig
-        v2 = jnp.float32(z + 0.65) * sig
-        m1 = pk._umin(pk._umax(pk._row_key(v1), lo0 + jnp.uint32(1)), hi0)
-        m2 = pk._umin(pk._umax(pk._row_key(v2), m1), hi0)
-        c1, c2 = count2(pk._row_float(m1), pk._row_float(m2))
-        lo1, hi1, cc1 = update(lo0, hi0, c0, m1, m2, c1, c2,
-                               row_done(lo0, hi0, c0))
-
-        def cond(state):
-            t, lo, hi, c_lo = state
-            return jnp.logical_and(t < 22,
-                                   ~jnp.all(row_done(lo, hi, c_lo)))
-
-        def body(state):
-            t, lo, hi, c_lo = state
-            span = hi - lo
-            frozen = row_done(lo, hi, c_lo)
-            one = jnp.uint32(1)
-            qq = span // 4
-            m1b = lo + qq + one
-            m2b = lo + qq * 2 + one
-            m3b = lo + qq * 3 + one
-            c1b, c2b, c3b = count3(pk._row_float(m1b), pk._row_float(m2b),
-                                   pk._row_float(m3b))
-            lo_n, hi_n, c_n = update3(lo, hi, c_lo, m1b, m2b, m3b,
-                                      c1b, c2b, c3b, frozen)
-            return t + 1, lo_n, hi_n, c_n
-
-        t, _, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), lo1, hi1, cc1))
+        _, t = pk._select_lo(x, sigma, k, alpha, N,
+                             return_rounds=True)
         out_r_ref[:] = jnp.full((bt, 1), 1, jnp.int32) * t
 
     grid = (b_pad // tile_b,)

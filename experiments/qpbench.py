@@ -124,8 +124,13 @@ def fake_diag_linalg():
 
 
 def bench_variant(prob, data, batch, linsolve, max_iters=35, k_iters=8,
-                  polish=True):
+                  polish=True, box=False):
+    """`box=True` passes the [I;-I;Theta;-Theta] structure to the
+    solver (spec prefix `bt`), measuring the structured-G_u path."""
     x0_0, x_ref, hs_h, hs_g = [d[:batch] for d in data]
+    box_theta = (prob.Theta.reshape(prob.horizon * prob.n_outputs,
+                                    prob.horizon * prob.n_inputs)
+                 if box else None)
 
     asm = jax.vmap(lambda a, b, c, d: assemble(prob, a, b, c, d)[:6],
                    out_axes=(None, 0, 0, 0, 0, 0))
@@ -141,7 +146,7 @@ def bench_variant(prob, data, batch, linsolve, max_iters=35, k_iters=8,
                 lambda qq, gu, hh1, au, bb: solve_mpc_qp(
                     P_uu1, qq, gu, hh1, au, bb, pss, qs,
                     max_iters=max_iters, tol=3e-5, polish=polish,
-                    linsolve=linsolve)
+                    linsolve=linsolve, box_theta=box_theta)
             )(q, G_u1, h1, HS_u, hs_rhs)
             acc = acc + jnp.sum(sol.obj)
             q = q_u + 1e-6 * sol.u.sum(-1, keepdims=True)
@@ -217,9 +222,11 @@ if __name__ == "__main__":
             with ctx:
                 rate = bench_variant(
                     prob, data, batch,
-                    "chol" if linsolve == "diag" or patched else linsolve,
+                    "chol" if linsolve in ("diag", "bt") or patched
+                    else linsolve,
                     max_iters=iters, k_iters=k,
-                    polish=not nopol and linsolve != "diag")
+                    polish=not nopol and linsolve != "diag",
+                    box=linsolve == "bt")
         finally:
             if patched is not None:
                 from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (

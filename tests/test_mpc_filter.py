@@ -188,3 +188,33 @@ def test_filter_core_batched_matches_flat_vmap():
         p_min, p_max, 40, None, chunk=2)
     np.testing.assert_allclose(np.asarray(u_r), np.asarray(u_f[:5]),
                                rtol=1e-7, atol=1e-8)
+
+
+def test_box_theta_structured_matches_dense():
+    """The [I; -I; Theta; -Theta] structured G_u operators must produce
+    the same solution as the dense products (same QP, same tolerances;
+    only the FLOP count differs)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.qp_ipm_structured import (
+        solve_mpc_qp)
+
+    rng = np.random.default_rng(11)
+    n, hp, m2 = 8, 6, 5
+    L = rng.normal(size=(n, n))
+    P_uu = jnp.asarray(L @ L.T + np.eye(n))
+    q_u = jnp.asarray(rng.normal(size=n))
+    T = rng.normal(size=(hp, n))
+    G_u = jnp.asarray(np.vstack([np.eye(n), -np.eye(n), T, -T]))
+    h1 = jnp.asarray(rng.uniform(0.5, 2.0, size=2 * n + 2 * hp))
+    A = jnp.asarray(rng.normal(size=(m2, n)))
+    b = jnp.asarray(rng.uniform(-1.0, 1.0, size=m2))
+
+    dense = solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, 100.0, 50.0)
+    struct = solve_mpc_qp(P_uu, q_u, G_u, h1, A, b, 100.0, 50.0,
+                          box_theta=jnp.asarray(T))
+    assert bool(dense.converged) and bool(struct.converged)
+    np.testing.assert_allclose(np.asarray(struct.u), np.asarray(dense.u),
+                               rtol=1e-6, atol=1e-7)
+    assert float(struct.obj) == pytest.approx(float(dense.obj), abs=1e-7)

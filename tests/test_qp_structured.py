@@ -108,3 +108,26 @@ def test_linsolve_inv_matches_chol(seed):
     assert bool(a.converged) and bool(b.converged)
     np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=3e-4)
     assert float(a.obj) == pytest.approx(float(b.obj), abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_warm_start_same_optimum_fewer_iterations(seed):
+    """Seeding a solve from a RELATED solve's iterates (perturbed rhs,
+    as in the pipeline's metric axis) must reach the same optimum in
+    strictly fewer IPM iterations (round-4 verdict next #4a)."""
+    data = _structured_instance(seed)
+    args = [jnp.asarray(x) for x in data[:6]] + [data[6], data[7]]
+    base = solve_mpc_qp(*args)
+    assert bool(base.converged)
+
+    # Perturb the soft-constraint offsets (the metric axis changes only
+    # hs_g, which lands in b).
+    args_p = list(args)
+    args_p[5] = args[5] + 0.05
+    cold = solve_mpc_qp(*args_p)
+    warm = solve_mpc_qp(*args_p, warm=(base.u, base.s, *base.mults))
+    assert bool(cold.converged) and bool(warm.converged)
+    np.testing.assert_allclose(np.asarray(warm.u), np.asarray(cold.u),
+                               rtol=1e-5, atol=1e-6)
+    assert float(warm.obj) == pytest.approx(float(cold.obj), abs=1e-6)
+    assert int(warm.iterations) < int(cold.iterations)
