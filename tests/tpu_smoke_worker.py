@@ -63,6 +63,32 @@ def main() -> int:
                                    err_msg=f"fused kernel field {name}")
     print("pallas fused kernel (compiled) OK", flush=True)
 
+    # 1b) N above the old 2047 packed-count cap (round-5 lift: 12-bit
+    #     dual fields at N=4096) -- compiled on chip vs the XLA closed
+    #     form, asserting the widened count path on real hardware.
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.halfspace import (
+        dr_cvar_halfspace)
+    from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops.pallas_kernels import (
+        fused_drcvar_halfspace)
+
+    nb = 4096
+    samples_b = np.asarray(0.5 + 0.1 * rng.normal(size=(16, nb, 2)),
+                           np.float32)
+    ego_b = np.asarray(0.1 * rng.normal(size=(16, 2)), np.float32)
+    with jax.default_device(tpu):
+        h_big, g_big = fused_drcvar_halfspace(
+            jnp.asarray(samples_b), jnp.asarray(ego_b),
+            ALPHA, DELTA, EPS, RR, RO)
+        g_big = np.asarray(g_big)
+    with jax.default_device(cpu):
+        ref_big = dr_cvar_halfspace(
+            jnp.asarray(samples_b), jnp.asarray(ego_b),
+            ALPHA, DELTA, EPS, RR, RO)
+        g_ref = np.asarray(ref_big.g_tilde)
+    np.testing.assert_allclose(g_big, g_ref, atol=2e-4, rtol=1e-5,
+                               err_msg="N=4096 wide-field count path")
+    print("pallas fused kernel N=4096 (compiled) OK", flush=True)
+
     # 2) Full pipeline step on the chip vs the same program on CPU f32,
     #    on IDENTICAL host-generated obstacles.  (Generating on-device
     #    instead would compare PRNG transcendental implementations: the
