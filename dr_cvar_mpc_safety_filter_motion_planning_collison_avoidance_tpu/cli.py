@@ -35,10 +35,11 @@ def _parse_mesh_spec(spec: str) -> dict:
     for part in spec.split(","):
         name, _, value = part.partition("=")
         name = name.strip()
-        if name not in axes or not value.strip().isdigit():
+        if (name not in axes or not value.strip().isdigit()
+                or int(value) < 1):
             raise SystemExit(
                 f"--mesh: bad axis spec '{part}' "
-                "(expected data=N[,samples=M])")
+                "(expected data=N[,samples=M], sizes >= 1)")
         axes[name] = int(value)
     if axes["data"] is None:
         raise SystemExit("--mesh: a data=N axis is required")

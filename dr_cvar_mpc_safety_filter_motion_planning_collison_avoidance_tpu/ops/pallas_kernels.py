@@ -160,7 +160,7 @@ def _umin(a, b):
     return pltpu.bitcast(jnp.minimum(sa, sb), jnp.uint32) ^ flip
 
 
-def _select_lo(x, sigma, k: int, alpha: float, n_samples: int,
+def _select_lo(x, sigma, k: int, n_samples: int,
                return_rounds: bool = False):
     """Order-statistic select: the uint32 key `lo` whose decoded float
     thresholds the exact top-k of each row.
@@ -366,7 +366,7 @@ def _block_cvar(x, sigma, k: int, alpha: float, n_samples: int):
       CVaR = (sum_G + (an - |G|) v)/an.
     So min, count and sum all come from one read.
     """
-    lo = _select_lo(x, sigma, k, alpha, n_samples)
+    lo = _select_lo(x, sigma, k, n_samples)
     f_lo = _row_float(lo)
     ge = x >= f_lo
     v = jnp.min(jnp.where(ge, x, jnp.float32(jnp.inf)), axis=1)

@@ -113,7 +113,12 @@ def make_sharded_timing_solvers(mesh: Mesh, params: Parameters):
             B = samples.shape[0]
             pad = -B % n_data
             if pad:
-                samples = jnp.concatenate([samples, samples[:pad]], axis=0)
+                # Wrap-index, not samples[:pad]: pad can EXCEED B for
+                # small batches (B=3 on a data=8 mesh needs 5 fill
+                # rows), where a plain slice under-fills and the
+                # sharded device_put rejects the non-divisible batch.
+                fill = samples[jnp.arange(pad) % B]
+                samples = jnp.concatenate([samples, fill], axis=0)
             samples = jax.device_put(samples, data_sharding(mesh, 3))
             return solve(samples, h)[:B]
 

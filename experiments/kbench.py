@@ -385,18 +385,22 @@ if __name__ == "__main__":
     main(sys.argv[1:] or ["r3", "nosel", "prod", "prod:512"])
 
 
-def measure_prod_rounds(batch=32768, N=1000, tile_b=256):
+def measure_prod_rounds(batch=32768, N=1000, tile_b=None):
     """Reports the PRODUCTION select's while_loop trip count per block
     (the block retires on its WORST row), to quantify how close the
-    seeded secant select runs to its optimum.  Reuses the production
-    loop body itself via pallas_kernels._select_lo(return_rounds=True)
-    -- no inlined copy to desynchronize (ADVICE r4)."""
+    moment-seeded 4-ary select runs to the log4 optimum.  Reuses the
+    production loop body itself via
+    pallas_kernels._select_lo(return_rounds=True) -- no inlined copy to
+    desynchronize (ADVICE r4) -- and the production tile picker, so the
+    probed block height matches what the kernel actually retires."""
     import numpy as np
     from dr_cvar_mpc_safety_filter_motion_planning_collison_avoidance_tpu.ops import (
         pallas_kernels as pk)
 
     key = jax.random.PRNGKey(0)
     n_pad = _round_up(N, 128)
+    if tile_b is None:
+        tile_b = pk._pick_tile_b(batch, None, n_pad)
     b_pad = _round_up(batch, tile_b)
     sx = 0.5 + 0.1 * jax.random.normal(key, (b_pad, n_pad), jnp.float32)
     sy = 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
@@ -413,8 +417,7 @@ def measure_prod_rounds(batch=32768, N=1000, tile_b=256):
         mask = colv < N
         _, _, hx, hy, x, sigma, shift = pk._centered_stats(
             sxv, syv, ego, mask, N)
-        _, t = pk._select_lo(x, sigma, k, alpha, N,
-                             return_rounds=True)
+        _, t = pk._select_lo(x, sigma, k, N, return_rounds=True)
         out_r_ref[:] = jnp.full((bt, 1), 1, jnp.int32) * t
 
     grid = (b_pad // tile_b,)

@@ -198,12 +198,15 @@ def test_sharded_timing_solvers_match_plain():
     dr_p, cv_p = _make_batched_solvers(params)
 
     rng = np.random.default_rng(7)
-    samples = jnp.asarray(np.array([0.5, 0.0])
-                          + 0.1 * rng.normal(size=(11, 40, 2)))
     h = jnp.asarray(np.array([1.0, 1.0]) / np.sqrt(2.0))
-    np.testing.assert_allclose(np.asarray(dr_s(samples, h)),
-                               np.asarray(dr_p(samples, h)),
-                               rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(cv_s(samples, h)),
-                               np.asarray(cv_p(samples, h)),
-                               rtol=1e-6, atol=1e-8)
+    # B=11 (pad < B) and B=3 (pad EXCEEDS B: the wrap-fill must repeat
+    # rows, a plain samples[:pad] slice under-fills -- round-5 review).
+    for B in (11, 3):
+        samples = jnp.asarray(np.array([0.5, 0.0])
+                              + 0.1 * rng.normal(size=(B, 40, 2)))
+        np.testing.assert_allclose(np.asarray(dr_s(samples, h)),
+                                   np.asarray(dr_p(samples, h)),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(cv_s(samples, h)),
+                                   np.asarray(cv_p(samples, h)),
+                                   rtol=1e-6, atol=1e-8)
