@@ -171,10 +171,14 @@ def analyze_sharded_programs(n_devices: int = 8, batch: int = 1024,
             "bisection_rounds_measured": r,
             "bisection_rounds_worst_case": 22,
             "total_collective_rounds": r + 4,
-            "note": "3-ary early-exit select: pmin+pmax span init, one "
-                    "packed dual-pivot psum per round, packed count/tail "
-                    "psum + final pmin; was 32 fixed binary rounds + 2 "
-                    "in round 3",
+            "note": "moment-seeded 3-ary early-exit select (round 5): "
+                    "ONE pmax carries both span extremes (complement "
+                    "trick), ONE psum carries the seeding moments, the "
+                    "seeded first round traps near-Gaussian rows in ~1 "
+                    "octave, then one packed dual-pivot psum per round "
+                    "+ packed count/tail psum + final pmin; history: "
+                    "32+2 fixed binary rounds (r2/r3) -> ~11+4 uniform "
+                    "3-ary (r4) -> measured_r+4 seeded (r5)",
         }
     except Exception as exc:  # pragma: no cover - contrast data only
         results["halfspace_sample_sharded"] = {"error": str(exc)}
