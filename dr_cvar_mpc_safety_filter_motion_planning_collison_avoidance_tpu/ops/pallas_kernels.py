@@ -16,8 +16,9 @@ the sample-sharded variant.  Falls back to interpret mode off-TPU.
 Design notes (see /opt/skills/guides/pallas_guide.md):
   * samples are passed as separate x/y planes [B, N] so blocks are plain
     (TILE_B, N_pad) tiles -- last dim a multiple of 128;
-  * the radix select runs entirely in registers/VMEM: 32 fori_loop steps
-    of masked counts on the block (VPU reductions), no sort;
+  * the order-statistic select runs entirely in registers/VMEM:
+    moment-seeded 4-ary packed-count rounds on the block (VPU
+    reductions, ~10 typical), no sort -- see `_select_lo`;
   * padding columns are masked via broadcasted_iota >= N.
 """
 
